@@ -1,0 +1,49 @@
+"""storage_tpu — TPU-native commodity storage valuation.
+
+A from-scratch JAX/XLA re-build of the capabilities of ``cmdty/storage``
+(C#/.NET + MKL + pythonnet): multi-factor Least-Squares Monte Carlo, intrinsic
+and trinomial-tree valuation of commodity storage facilities, with Monte-Carlo
+paths as the data-parallel axis over TPU device meshes.
+
+Public API mirrors ``cmdty_storage/__init__.py:24-35``.
+"""
+from __future__ import annotations
+
+import logging
+
+from .exceptions import InventoryConstraintsCannotBeFulfilledError, StorageError
+from .storage import CmdtyStorage
+from .types import InjectWithdrawRange, RatchetInterp, TriggerPricePoint, TriggerPriceProfile
+from .engines.intrinsic import IntrinsicValuationResults, intrinsic_value
+from .utils.frequencies import SUPPORTED_FREQS
+from .utils.basis import parse_basis_functions
+
+__version__ = "0.1.0"
+
+logger: logging.Logger = logging.getLogger("storage_tpu")
+logger.addHandler(logging.NullHandler())
+
+
+def numerics_provider() -> str:
+    """Report the numerical backend (reference ``utils.numerics_provider``,
+    which reported MKL vs managed — ``utils.py:311-312``)."""
+    import jax
+
+    return f"jax/XLA backend={jax.default_backend()}"
+
+
+__all__ = [
+    "CmdtyStorage",
+    "RatchetInterp",
+    "InjectWithdrawRange",
+    "TriggerPricePoint",
+    "TriggerPriceProfile",
+    "IntrinsicValuationResults",
+    "intrinsic_value",
+    "InventoryConstraintsCannotBeFulfilledError",
+    "StorageError",
+    "SUPPORTED_FREQS",
+    "parse_basis_functions",
+    "numerics_provider",
+    "__version__",
+]

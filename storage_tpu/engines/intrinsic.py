@@ -1,0 +1,250 @@
+"""Intrinsic storage valuation.
+
+Deterministic dynamic program on the forward curve only — no stochasticity.
+Reference: ``IntrinsicStorageValuation<T>.Calculate``
+(``IntrinsicValuation/IntrinsicStorageValuation.cs:120-322``) and the Python
+wrapper ``intrinsic_value`` (``cmdty_storage/intrinsic.py:42-111``).
+
+TPU formulation: backward induction is a ``lax.scan`` over time with the
+inventory-grid dimension vectorised (``vmap``-free broadcasting), bang-bang
+decision sets in fixed width, and O(1) uniform-grid interpolation of the
+continuation value.  The forward sweep (one scalar inventory path through the
+saved value functions) runs on the host in float64.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..compile import SettlementRule, ValuationContext, build_valuation_context
+from ..exceptions import InventoryConstraintsCannotBeFulfilledError
+from ..ops.decisions import bang_bang_decision_set, max_value_and_index
+from ..ops.interp import fractional_index
+from ..ops.ratchets import interp_rates_host
+from ..storage import CmdtyStorage
+from ..utils.discount import DiscountFn
+from ..utils.frequencies import PeriodLike, normalize_freq, to_period
+from .common import step_economics
+
+PROFILE_COLUMNS = [
+    "inventory",
+    "inject_withdraw_volume",
+    "cmdty_consumed",
+    "inventory_loss",
+    "net_volume",
+    "period_pv",
+]
+
+
+class IntrinsicValuationResults(NamedTuple):
+    """NPV + storage profile (reference ``intrinsic.py:37-39``)."""
+
+    npv: float
+    profile: pd.DataFrame
+
+
+def _empty_profile(freq: str) -> pd.DataFrame:
+    return pd.DataFrame(
+        {c: [] for c in PROFILE_COLUMNS}, index=pd.PeriodIndex([], freq=freq)
+    )
+
+
+@partial(jax.jit, static_argnames=("interp_kind", "num_grid_points", "extra_decisions"))
+def _backward_values(
+    grids,  # [n+1, G]
+    space_min,  # [n+1]
+    space_max,  # [n+1]
+    pillars,  # [n, P, 3]
+    loss,  # [n]
+    inject_cost,
+    withdraw_cost,
+    cons_inject,
+    cons_withdraw,
+    inv_cost_rate,
+    df_settle,
+    df_start,
+    fwd,  # [n+1]
+    terminal_values,  # [G]
+    interp_kind: int,
+    num_grid_points: int,
+    extra_decisions: int = 0,
+):
+    """Backward induction; returns the value function ``[n+1, G]`` on each
+    period's grid (reference backward loop ``IntrinsicStorageValuation.cs:191-216``)."""
+
+    def step(v_next, inputs):
+        (grid_k, next_lo, next_hi, pillars_k, loss_k, ic, wc, ci, cw, icr, dfs, df0, fwd_k) = inputs
+        econ = step_economics(
+            grid_k, pillars_k, interp_kind, loss_k, next_lo, next_hi,
+            ic, wc, ci, cw, icr, dfs, df0, extra_decisions,
+        )
+        j, w = fractional_index(econ.inventory_after, next_lo, next_hi, num_grid_points)
+        cont = jnp.take(v_next, j) * (1.0 - w) + jnp.take(v_next, j + 1) * w
+        total = econ.immediate_npv(fwd_k) + cont  # [G, D]
+        v_k = jnp.max(total, axis=-1)
+        return v_k, v_k
+
+    xs = (
+        grids[:-1],
+        space_min[1:],
+        space_max[1:],
+        pillars,
+        loss,
+        inject_cost,
+        withdraw_cost,
+        cons_inject,
+        cons_withdraw,
+        inv_cost_rate,
+        df_settle,
+        df_start,
+        fwd[:-1],
+    )
+    _, values = jax.lax.scan(step, terminal_values, xs, reverse=True)
+    return jnp.concatenate([values, terminal_values[None, :]], axis=0)
+
+
+def _forward_sweep(ctx: ValuationContext, values: np.ndarray, extra_decisions: int = 0):
+    """Forward pass choosing optimal decisions from the starting inventory.
+
+    Host float64 re-derivation of the optimal policy against the device value
+    functions (reference ``IntrinsicStorageValuation.cs:218-259``).
+    """
+    n = ctx.n_steps
+    rows = np.zeros((n + 1, len(PROFILE_COLUMNS)), dtype=np.float64)
+    inv = ctx.inventory
+    for k in range(n):
+        min_rate, max_rate = interp_rates_host(
+            ctx.storage.pillar_tables[
+                (ctx.periods[0] - ctx.storage.start).n + k
+            ],
+            inv,
+            ctx.interp_kind,
+        )
+        loss = float(ctx.inventory_loss[k]) * inv
+        decisions = bang_bang_decision_set(
+            min_rate, max_rate, inv, loss,
+            float(ctx.inv_space.min_inventory[k + 1]),
+            float(ctx.inv_space.max_inventory[k + 1]),
+            ctx.numerical_tolerance,
+            extra_decisions,
+        )
+        grid_next = ctx.grids[k + 1]
+        v_next = values[k + 1]
+        price = float(ctx.fwd[k])
+        totals = np.empty(len(decisions))
+        period_pvs = np.empty(len(decisions))
+        consumed_arr = np.empty(len(decisions))
+        for d_idx, d in enumerate(decisions):
+            inv_after = inv + d - loss
+            cont = float(np.interp(inv_after, grid_next, v_next))
+            consumed = (
+                float(ctx.cons_inject[k]) * abs(d) if d > 0.0 else float(ctx.cons_withdraw[k]) * abs(d)
+            )
+            iw_cost = (
+                float(ctx.inject_cost[k]) * abs(d) if d > 0.0 else float(ctx.withdraw_cost[k]) * abs(d)
+            )
+            inv_cost = float(ctx.inventory_cost_rate[k]) * inv
+            period_pv = (
+                -(d + consumed) * price * float(ctx.df_settle[k])
+                - (iw_cost + inv_cost) * float(ctx.df_start[k])
+            )
+            totals[d_idx] = period_pv + cont
+            period_pvs[d_idx] = period_pv
+            consumed_arr[d_idx] = consumed
+        _, best = max_value_and_index(totals)
+        d_opt = float(decisions[best])
+        inv = inv + d_opt - loss
+        net_volume = -d_opt - consumed_arr[best]
+        rows[k] = (inv, d_opt, consumed_arr[best], loss, net_volume, period_pvs[best])
+
+    # End-period row: no decision; terminal PV if the storage can hold inventory
+    # (IntrinsicStorageValuation.cs:230-234).
+    end_pv = 0.0
+    if not ctx.storage.must_be_empty_at_end:
+        end_pv = ctx.storage.terminal_storage_npv(float(ctx.fwd[n]), inv)
+    rows[n] = (inv, 0.0, 0.0, 0.0, 0.0, end_pv)
+    return rows
+
+
+def intrinsic_value(
+    cmdty_storage: CmdtyStorage,
+    val_date: PeriodLike,
+    inventory: Union[float, int],
+    forward_curve: pd.Series,
+    interest_rates: Union[None, float, pd.Series, DiscountFn],
+    settlement_rule: Optional[SettlementRule],
+    num_inventory_grid_points: int = 100,
+    numerical_tolerance: float = 1e-12,
+    extra_decisions: int = 0,
+    dtype=jnp.float32,
+) -> IntrinsicValuationResults:
+    """Intrinsic value of commodity storage (reference ``intrinsic.py:42-66``).
+
+    Args:
+      settlement_rule: maps each delivery ``pd.Period`` to its settlement date;
+        ``None`` settles on the period start day (undiscounted within period).
+    """
+    freq = normalize_freq(cmdty_storage.freq)
+    val_period = to_period(val_date, freq)
+    if val_period > cmdty_storage.end:
+        return IntrinsicValuationResults(0.0, _empty_profile(freq))
+    if val_period == cmdty_storage.end:
+        if cmdty_storage.must_be_empty_at_end:
+            if inventory > 0:
+                raise InventoryConstraintsCannotBeFulfilledError(
+                    "Storage must be empty at end, but inventory is greater than zero."
+                )
+            return IntrinsicValuationResults(0.0, _empty_profile(freq))
+        if inventory < cmdty_storage.min_inventory(val_period):
+            raise InventoryConstraintsCannotBeFulfilledError(
+                "Current inventory is lower than the minimum allowed in the end period."
+            )
+        if inventory > cmdty_storage.max_inventory(val_period):
+            raise InventoryConstraintsCannotBeFulfilledError(
+                "Current inventory is greater than the maximum allowed in the end period."
+            )
+        price = float(forward_curve[val_period])
+        npv = cmdty_storage.terminal_storage_npv(price, float(inventory))
+        return IntrinsicValuationResults(npv, _empty_profile(freq))
+
+    ctx = build_valuation_context(
+        cmdty_storage, val_date, float(inventory), forward_curve, interest_rates,
+        settlement_rule, num_inventory_grid_points, numerical_tolerance,
+    )
+    n = ctx.n_steps
+    grid_end = ctx.grids[n]
+    if cmdty_storage.terminal_npv_fn is None:
+        terminal = np.zeros_like(grid_end)
+    else:
+        terminal = np.asarray(cmdty_storage.terminal_npv_fn(ctx.fwd[n], grid_end), dtype=np.float64)
+        terminal = np.broadcast_to(terminal, grid_end.shape)
+
+    values = _backward_values(
+        jnp.asarray(ctx.grids, dtype),
+        jnp.asarray(ctx.inv_space.min_inventory, dtype),
+        jnp.asarray(ctx.inv_space.max_inventory, dtype),
+        jnp.asarray(ctx.pillars, dtype),
+        jnp.asarray(ctx.inventory_loss, dtype),
+        jnp.asarray(ctx.inject_cost, dtype),
+        jnp.asarray(ctx.withdraw_cost, dtype),
+        jnp.asarray(ctx.cons_inject, dtype),
+        jnp.asarray(ctx.cons_withdraw, dtype),
+        jnp.asarray(ctx.inventory_cost_rate, dtype),
+        jnp.asarray(ctx.df_settle, dtype),
+        jnp.asarray(ctx.df_start, dtype),
+        jnp.asarray(ctx.fwd, dtype),
+        jnp.asarray(terminal, dtype),
+        interp_kind=ctx.interp_kind,
+        num_grid_points=ctx.num_grid_points,
+        extra_decisions=extra_decisions,
+    )
+    values_np = np.asarray(values, dtype=np.float64)
+    rows = _forward_sweep(ctx, values_np, extra_decisions)
+    npv = float(rows[:, PROFILE_COLUMNS.index("period_pv")].sum())
+    profile = pd.DataFrame(rows, columns=PROFILE_COLUMNS, index=ctx.periods)
+    return IntrinsicValuationResults(npv, profile)

@@ -1,0 +1,101 @@
+"""Inject/withdraw ratchet-rate lookup kernels.
+
+The reference dispatches on constraint class per period
+(``ConstantInjectWithdrawConstraint`` / ``PiecewiseLinearInjectWithdrawConstraint`` /
+``StepInjectWithdrawConstraint``; ``InjectWithdrawConstraints/*.cs``).  The TPU
+representation is a single dense pillar tensor ``[num_steps, P, 3]`` of
+``(inventory, min_rate, max_rate)`` rows, padded by repeating the final pillar,
+plus one interpolation mode for the whole storage.  Rate lookup is then a
+branch-free gather/interp that ``vmap``s over steps, grid points and
+simulations — per-sim ratchet lookup inside the forward pass costs one small
+vectorised searchsorted instead of the reference's per-sim virtual dispatch
+(``LsmcStorageValuation.cs:431``).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+INTERP_LINEAR = 0  # piecewise-linear in inventory (reference PiecewiseLinear)
+INTERP_STEP = 1  # piecewise-constant, floor lookup (reference Step)
+
+
+def interp_rates(pillars, inventory, interp_kind: int):
+    """Min/max inject-withdraw rates at ``inventory``.
+
+    Args:
+      pillars: ``[..., P, 3]`` array of (inventory, min_rate, max_rate) rows,
+        sorted ascending by inventory and padded by repeating the last row.
+      inventory: array broadcastable against ``pillars[..., 0, 0]`` — the
+        leading dims of ``pillars`` and ``inventory`` must match.
+      interp_kind: INTERP_LINEAR or INTERP_STEP (static).
+
+    Returns:
+      ``(min_rate, max_rate)`` with the shape of ``inventory``.
+
+    Linear mode mirrors MathNet's ``LinearSpline`` over the pillar points
+    (reference ``PiecewiseLinearInjectWithdrawConstraint.cs:67-72``); step mode
+    mirrors the floor binary search (``StepInjectWithdrawConstraint.cs:72-79``).
+    Out-of-range inventories clamp to the boundary pillar (the engines only
+    query inventories inside the reduced inventory space).
+    """
+    pillar_inv = pillars[..., 0]
+    pillar_min = pillars[..., 1]
+    pillar_max = pillars[..., 2]
+    num_pillars = pillar_inv.shape[-1]
+
+    # Index of the segment whose lower pillar is <= inventory.
+    idx = jnp.sum(pillar_inv <= inventory[..., None], axis=-1) - 1
+    if interp_kind == INTERP_STEP:
+        idx = jnp.clip(idx, 0, num_pillars - 1)
+        min_rate = jnp.take_along_axis(pillar_min, idx[..., None], axis=-1)[..., 0]
+        max_rate = jnp.take_along_axis(pillar_max, idx[..., None], axis=-1)[..., 0]
+        return min_rate, max_rate
+
+    lo = jnp.clip(idx, 0, num_pillars - 2)
+    hi = lo + 1
+    inv_lo = jnp.take_along_axis(pillar_inv, lo[..., None], axis=-1)[..., 0]
+    inv_hi = jnp.take_along_axis(pillar_inv, hi[..., None], axis=-1)[..., 0]
+    seg = inv_hi - inv_lo
+    w = jnp.where(seg > 0.0, (inventory - inv_lo) / jnp.where(seg > 0.0, seg, 1.0), 0.0)
+    w = jnp.clip(w, 0.0, 1.0)
+
+    def lerp(vals):
+        v_lo = jnp.take_along_axis(vals, lo[..., None], axis=-1)[..., 0]
+        v_hi = jnp.take_along_axis(vals, hi[..., None], axis=-1)[..., 0]
+        return v_lo + (v_hi - v_lo) * w
+
+    return lerp(pillar_min), lerp(pillar_max)
+
+
+def interp_rates_host(pillars: np.ndarray, inventory: float, interp_kind: int):
+    """Host (NumPy, float64) single-point version of :func:`interp_rates`.
+
+    Used by the inventory-space reduction, which runs once per valuation on the
+    host (reference call site ``LsmcStorageValuation.cs:88``).
+    """
+    inv = pillars[:, 0]
+    if interp_kind == INTERP_STEP:
+        idx = int(np.searchsorted(inv, inventory, side="right")) - 1
+        idx = min(max(idx, 0), len(inv) - 1)
+        return float(pillars[idx, 1]), float(pillars[idx, 2])
+    min_rate = float(np.interp(inventory, inv, pillars[:, 1]))
+    max_rate = float(np.interp(inventory, inv, pillars[:, 2]))
+    return min_rate, max_rate
+
+
+def pad_pillars(tables, num_pillars: int | None = None) -> np.ndarray:
+    """Stack per-step pillar tables ``[(P_k, 3)]`` into ``[n, P, 3]``.
+
+    Shorter tables are padded by repeating their last row, which is a no-op for
+    both interpolation modes and for the inventory-space bound solvers.
+    """
+    arrays = [np.asarray(t, dtype=np.float64).reshape(-1, 3) for t in tables]
+    max_p = num_pillars or max(a.shape[0] for a in arrays)
+    out = np.empty((len(arrays), max_p, 3), dtype=np.float64)
+    for k, a in enumerate(arrays):
+        if a.shape[0] > max_p:
+            raise ValueError("num_pillars smaller than a provided pillar table.")
+        out[k, : a.shape[0]] = a
+        out[k, a.shape[0]:] = a[-1]
+    return out
