@@ -24,10 +24,11 @@ def interp_rates(pillars, inventory, interp_kind: int):
     """Min/max inject-withdraw rates at ``inventory``.
 
     Args:
-      pillars: ``[..., P, 3]`` array of (inventory, min_rate, max_rate) rows,
+      pillars: ``[P, 3]`` array of (inventory, min_rate, max_rate) rows,
         sorted ascending by inventory and padded by repeating the last row.
-      inventory: array broadcastable against ``pillars[..., 0, 0]`` — the
-        leading dims of ``pillars`` and ``inventory`` must match.
+        Batched pillar tensors go through ``vmap``/``scan``, which strip the
+        leading step axis before this kernel runs.
+      inventory: array of any shape.
       interp_kind: INTERP_LINEAR or INTERP_STEP (static).
 
     Returns:
@@ -39,30 +40,29 @@ def interp_rates(pillars, inventory, interp_kind: int):
     Out-of-range inventories clamp to the boundary pillar (the engines only
     query inventories inside the reduced inventory space).
     """
-    pillar_inv = pillars[..., 0]
-    pillar_min = pillars[..., 1]
-    pillar_max = pillars[..., 2]
-    num_pillars = pillar_inv.shape[-1]
+    pillar_inv = pillars[:, 0]
+    pillar_min = pillars[:, 1]
+    pillar_max = pillars[:, 2]
+    num_pillars = pillar_inv.shape[0]
 
-    # Index of the segment whose lower pillar is <= inventory.
+    # Index of the segment whose lower pillar is <= inventory.  P is small, so
+    # a comparison-sum beats a searchsorted gather on the VPU.
     idx = jnp.sum(pillar_inv <= inventory[..., None], axis=-1) - 1
     if interp_kind == INTERP_STEP:
         idx = jnp.clip(idx, 0, num_pillars - 1)
-        min_rate = jnp.take_along_axis(pillar_min, idx[..., None], axis=-1)[..., 0]
-        max_rate = jnp.take_along_axis(pillar_max, idx[..., None], axis=-1)[..., 0]
-        return min_rate, max_rate
+        return jnp.take(pillar_min, idx), jnp.take(pillar_max, idx)
 
     lo = jnp.clip(idx, 0, num_pillars - 2)
     hi = lo + 1
-    inv_lo = jnp.take_along_axis(pillar_inv, lo[..., None], axis=-1)[..., 0]
-    inv_hi = jnp.take_along_axis(pillar_inv, hi[..., None], axis=-1)[..., 0]
+    inv_lo = jnp.take(pillar_inv, lo)
+    inv_hi = jnp.take(pillar_inv, hi)
     seg = inv_hi - inv_lo
     w = jnp.where(seg > 0.0, (inventory - inv_lo) / jnp.where(seg > 0.0, seg, 1.0), 0.0)
     w = jnp.clip(w, 0.0, 1.0)
 
     def lerp(vals):
-        v_lo = jnp.take_along_axis(vals, lo[..., None], axis=-1)[..., 0]
-        v_hi = jnp.take_along_axis(vals, hi[..., None], axis=-1)[..., 0]
+        v_lo = jnp.take(vals, lo)
+        v_hi = jnp.take(vals, hi)
         return v_lo + (v_hi - v_lo) * w
 
     return lerp(pillar_min), lerp(pillar_max)

@@ -1,0 +1,226 @@
+"""Intrinsic engine oracle tests.
+
+Strategy per SURVEY.md §4: (a) README C# example oracle (NPV 10,827.21,
+``README.md:341-344``); (b) the reference Python golden config
+(intrinsic npv 1,703,773.0757 at 100 grid points, ``test_multi_factor.py:231``);
+(c) trivial forced-flow configs with hand-computed NPV; (d) edge-period
+semantics (``IntrinsicStorageValuationTest.cs:186-307``).
+"""
+import numpy as np
+import pandas as pd
+import pytest
+
+from storage_tpu import CmdtyStorage, intrinsic_value
+from storage_tpu.exceptions import InventoryConstraintsCannotBeFulfilledError
+
+
+def piecewise_flat_series(values, boundaries, freq):
+    """Reference test helper ``tests/utils.py:7-10``: values flat between
+    consecutive boundary dates."""
+    index = pd.period_range(start=boundaries[0], end=boundaries[-1], freq=freq)
+    series = pd.Series(index=index, dtype=np.float64)
+    for value, start, end in zip(values, boundaries[:-1], boundaries[1:]):
+        series[pd.Period(start, freq=freq):pd.Period(end, freq=freq)] = value
+    return series
+
+
+class TestReadmeIntrinsicOracle:
+    """README 'Calculating the Intrinsic Value' sample: simple storage, flat
+    curve spread, no discounting -> NPV 10,827.21 (README.md:341-344)."""
+
+    def make_storage(self):
+        return CmdtyStorage(
+            freq="D",
+            storage_start="2019-09-01",
+            storage_end="2019-10-01",
+            injection_cost=0.48,
+            withdrawal_cost=0.74,
+            min_inventory=0.0,
+            max_inventory=1100.74,
+            max_injection_rate=5.26,
+            max_withdrawal_rate=14.74,
+        )
+
+    def forward_curve(self):
+        low, spread = 56.6, 87.81
+        return piecewise_flat_series(
+            [low, low + spread, low + spread],
+            ["2019-09-15", "2019-09-23", "2019-10-01"],
+            freq="D",
+        )
+
+    def test_npv_matches_reference(self):
+        results = intrinsic_value(
+            self.make_storage(),
+            val_date="2019-09-15",
+            inventory=50.0,
+            forward_curve=self.forward_curve(),
+            interest_rates=None,  # df == 1.0 like the README example
+            settlement_rule=None,
+            num_inventory_grid_points=112,  # ~spacing 10 over [0, 1100.74]
+        )
+        assert results.npv == pytest.approx(10827.21, rel=2e-4)
+        profile = results.profile
+        assert len(profile) == 17  # 2019-09-15 .. 2019-10-01
+        # Storage must end empty.
+        assert profile["inventory"].iloc[-1] == pytest.approx(0.0, abs=1e-6)
+        # Total injected while cheap, total withdrawn while expensive.
+        vols = profile["inject_withdraw_volume"]
+        assert vols[: pd.Period("2019-09-22", "D")].min() >= 0.0
+        assert float(vols.sum()) == pytest.approx(-50.0, abs=1e-6)  # net out = start inventory
+
+    def test_npv_invariant_to_grid_resolution(self):
+        coarse = intrinsic_value(
+            self.make_storage(), "2019-09-15", 50.0, self.forward_curve(), None, None,
+            num_inventory_grid_points=60,
+        )
+        fine = intrinsic_value(
+            self.make_storage(), "2019-09-15", 50.0, self.forward_curve(), None, None,
+            num_inventory_grid_points=400,
+        )
+        assert coarse.npv == pytest.approx(fine.npv, rel=5e-4)
+
+
+class TestGoldenConfigIntrinsic:
+    """The reference Python golden regression config (test_multi_factor.py:167-231):
+    val date before storage start, 122-step storage, piecewise-flat curve with a
+    late price spike, 3% flat rates, 20th-of-next-month settlement.
+    Reference intrinsic npv = 1,703,773.0757192627."""
+
+    def test_npv_close_to_reference_golden(self):
+        storage = CmdtyStorage(
+            "D", "2019-12-01", "2020-04-01",
+            injection_cost=1.23, withdrawal_cost=0.98,
+            min_inventory=0.0, max_inventory=100_000.0,
+            max_injection_rate=700.0, max_withdrawal_rate=700.0,
+        )
+        forward_curve = piecewise_flat_series(
+            [23.87, 150.32, 150.32],
+            ["2019-08-29", "2020-03-12", "2020-04-01"],
+            freq="D",
+        )
+        rates = pd.Series(
+            index=pd.period_range("2019-08-29", "2020-06-01", freq="D"), dtype=np.float64
+        )
+        rates[:] = 0.03
+
+        def settle(period):
+            return period.asfreq("M").asfreq("D", "end") + 20
+
+        results = intrinsic_value(
+            storage, "2019-08-29", 0.0, forward_curve, rates, settle,
+            num_inventory_grid_points=100,
+        )
+        # Grid construction differs from the reference (linspace vs global
+        # fixed spacing), so agreement is to grid tolerance, not bitwise.
+        assert results.npv == pytest.approx(1_703_773.0757192627, rel=2e-3)
+        assert len(results.profile) == 123
+
+    def test_finer_grid_converges_to_reference(self):
+        storage = CmdtyStorage(
+            "D", "2019-12-01", "2020-04-01",
+            injection_cost=1.23, withdrawal_cost=0.98,
+            min_inventory=0.0, max_inventory=100_000.0,
+            max_injection_rate=700.0, max_withdrawal_rate=700.0,
+        )
+        forward_curve = piecewise_flat_series(
+            [23.87, 150.32, 150.32],
+            ["2019-08-29", "2020-03-12", "2020-04-01"],
+            freq="D",
+        )
+        rates = pd.Series(
+            index=pd.period_range("2019-08-29", "2020-06-01", freq="D"), dtype=np.float64
+        )
+        rates[:] = 0.03
+
+        def settle(period):
+            return period.asfreq("M").asfreq("D", "end") + 20
+
+        results = intrinsic_value(
+            storage, "2019-08-29", 0.0, forward_curve, rates, settle,
+            num_inventory_grid_points=400,
+        )
+        # Exact optimum for this config (inject the 14,000 sellable units as
+        # late as possible, sell over the 20 high-price days) computes to
+        # 1,705,608.67 by direct discounted cash-flow summation.  The
+        # reference's golden 1,703,773.08 reflects a slightly suboptimal
+        # early-inject plan from its coarse-grid DP — this engine should land
+        # between the reference value and the true optimum, near the optimum.
+        exact_optimum = 1_705_608.67
+        assert results.npv <= exact_optimum * (1 + 1e-6)
+        assert results.npv == pytest.approx(exact_optimum, rel=5e-4)
+
+
+class TestForcedFlows:
+    """Degenerate configs where the optimal policy is unique and NPV equals a
+    hand-computed cash-flow sum (strategy of
+    ``Calculate_StorageWithForcedInjectAndWithdraw_...``,
+    ``Lsmc/LsmcStorageValuationTest.cs:686-845``)."""
+
+    def test_forced_inject_then_withdraw(self):
+        # Min inventory series forces inject 10/day for 5 days, then
+        # must-be-empty forces withdrawal of everything.
+        idx = pd.period_range("2021-01-01", "2021-01-11", freq="D")
+        min_inv = pd.Series(0.0, index=idx)
+        min_inv[pd.Period("2021-01-06", "D")] = 50.0  # after 5 inject days
+        storage = CmdtyStorage(
+            "D", "2021-01-01", "2021-01-11",
+            injection_cost=0.5, withdrawal_cost=0.6,
+            min_inventory=min_inv, max_inventory=50.0,
+            max_injection_rate=10.0, max_withdrawal_rate=10.0,
+        )
+        curve = pd.Series(20.0, index=idx)
+        results = intrinsic_value(storage, "2021-01-01", 0.0, curve, None, None)
+        # Unique plan: +10 x5 days, -10 x5 days. Flat price -> price legs cancel;
+        # NPV = -(inject cost)*50 - (withdraw cost)*50.
+        assert results.npv == pytest.approx(-(0.5 * 50 + 0.6 * 50), rel=1e-5)
+        vols = results.profile["inject_withdraw_volume"].to_numpy()
+        np.testing.assert_allclose(vols[:5], 10.0, atol=1e-5)
+        np.testing.assert_allclose(vols[5:10], -10.0, atol=1e-5)
+
+    def test_monthly_spread_capture(self):
+        # Two-period monthly storage: buy cheap month, sell expensive month.
+        idx = pd.period_range("2021-01", "2021-03", freq="M")
+        curve = pd.Series([10.0, 30.0, 30.0], index=idx)
+        storage = CmdtyStorage(
+            "M", "2021-01", "2021-03",
+            injection_cost=1.0, withdrawal_cost=1.0,
+            min_inventory=0.0, max_inventory=100.0,
+            max_injection_rate=100.0, max_withdrawal_rate=100.0,
+        )
+        results = intrinsic_value(storage, "2021-01", 0.0, curve, None, None)
+        # Buy 100 @ 10 (+1 cost), sell 100 @ 30 (-1 cost): npv = 100*(30-10-2)
+        assert results.npv == pytest.approx(1800.0, rel=1e-6)
+
+
+class TestEdgePeriods:
+    def make_storage(self, terminal=None):
+        return CmdtyStorage(
+            "D", "2021-01-01", "2021-02-01",
+            injection_cost=0.1, withdrawal_cost=0.1,
+            min_inventory=0.0, max_inventory=100.0,
+            max_injection_rate=10.0, max_withdrawal_rate=10.0,
+            terminal_storage_npv=terminal,
+        )
+
+    def curve(self):
+        idx = pd.period_range("2021-01-01", "2021-02-01", freq="D")
+        return pd.Series(25.0, index=idx)
+
+    def test_expired_storage_returns_zero(self):
+        results = intrinsic_value(self.make_storage(), "2021-03-01", 0.0, self.curve(), None, None)
+        assert results.npv == 0.0
+        assert len(results.profile) == 0
+
+    def test_end_period_must_be_empty_with_inventory_raises(self):
+        with pytest.raises(InventoryConstraintsCannotBeFulfilledError):
+            intrinsic_value(self.make_storage(), "2021-02-01", 10.0, self.curve(), None, None)
+
+    def test_end_period_terminal_value(self):
+        storage = self.make_storage(terminal=lambda price, inv: price * inv * 0.9)
+        results = intrinsic_value(storage, "2021-02-01", 10.0, self.curve(), None, None)
+        assert results.npv == pytest.approx(25.0 * 10.0 * 0.9)
+
+    def test_negative_inventory_raises(self):
+        with pytest.raises(ValueError):
+            intrinsic_value(self.make_storage(), "2021-01-01", -1.0, self.curve(), None, None)
