@@ -1,0 +1,331 @@
+"""Multi-factor forward-curve model: validation, closed-form analytics,
+seasonal parameterisation, and the standalone path-simulator API.
+
+Replaces the reference's ``cmdty_storage/multi_factor.py`` public surface
+(``MultiFactorModel``, ``MultiFactorSpotSim``, ``create_3_factor_season_params``,
+``_validate_multi_factor_params``) with the same semantics, minus the CLR
+bridge: simulation runs through :mod:`storage_tpu.models.simulation`.
+"""
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..utils.daycount import act_365
+from ..utils.frequencies import PeriodLike, normalize_freq, to_period
+from .simulation import sim_coefficients, simulate_spot_paths
+
+CurveType = Union[pd.Series, Dict]
+FactorType = Tuple[float, CurveType]
+FactorCorrsType = Optional[Union[float, int, np.ndarray]]
+TimeFunctionType = object  # Callable[[date-like, date-like], float]
+
+DAYS_PER_YEAR = 365.25
+SECONDS_PER_YEAR = 60 * 60 * 24 * DAYS_PER_YEAR
+
+
+def validate_multi_factor_params(
+    factors: Sequence[FactorType], factor_corrs: FactorCorrsType
+) -> np.ndarray:
+    """Validate factors and coerce the correlation spec to a matrix.
+
+    Reference: ``_validate_multi_factor_params`` (``multi_factor.py:112-147``):
+    single factor defaults to [[1]], two factors accept a scalar correlation,
+    the matrix must be square with unit diagonal and entries in [-1, 1], and
+    mean reversions must be non-negative.
+    """
+    factors = list(factors)
+    if len(factors) == 0:
+        raise ValueError("factors cannot be empty.")
+    if len(factors) == 1 and factor_corrs is None:
+        factor_corrs = np.array([[1.0]])
+    if len(factors) == 2 and isinstance(factor_corrs, (int, float)):
+        c = float(factor_corrs)
+        factor_corrs = np.array([[1.0, c], [c, 1.0]])
+    factor_corrs = np.asarray(factor_corrs, dtype=np.float64)
+    if factor_corrs.ndim != 2:
+        raise ValueError("Factor correlation matrix is not 2-dimensional.")
+    if factor_corrs.shape[0] != factor_corrs.shape[1]:
+        raise ValueError("Factor correlation matrix is not square.")
+    for (i, j), corr in np.ndenumerate(factor_corrs):
+        if i == j:
+            if not np.isclose(corr, 1.0):
+                raise ValueError(
+                    f"Factor correlation on diagonal position ({i}, {j}) value of {corr} "
+                    "not valid as not equal to 1."
+                )
+        elif not -1.0 <= corr <= 1.0:
+            raise ValueError(
+                f"Factor correlation in position ({i}, {j}) value of {corr} not valid "
+                "as not in the interval [-1, 1]"
+            )
+    if len(factors) != factor_corrs.shape[0]:
+        raise ValueError("factors and factor_corrs are of inconsistent sizes.")
+    for idx, (mean_reversion, _vol) in enumerate(factors):
+        if mean_reversion < 0.0:
+            raise ValueError(
+                f"Mean reversion value of {mean_reversion} for factor at index {idx} "
+                "not valid as is negative."
+            )
+    return factor_corrs
+
+
+def _curve_lookup(vol_curve: CurveType, contract, factor_num: int) -> float:
+    """Exact lookup of a vol-curve point (reference ``_get_factor_vol``,
+    ``multi_factor.py:231-238``)."""
+    if isinstance(vol_curve, pd.Series):
+        freq = vol_curve.index.freqstr
+        key = to_period(contract, freq) if not isinstance(contract, pd.Period) else contract
+        if key in vol_curve.index:
+            return float(vol_curve[key])
+    else:
+        if contract in vol_curve:
+            return float(vol_curve[contract])
+        # Date-like keys may be spelled differently; fall back to day equality.
+        for k, v in vol_curve.items():
+            try:
+                if _as_day(k) == _as_day(contract):
+                    return float(v)
+            except (TypeError, ValueError):
+                continue
+    raise ValueError(
+        f"No point in vol curve of factor {factor_num} for fwd_contract value of {contract}."
+    )
+
+
+def _as_day(date_like) -> date:
+    if isinstance(date_like, pd.Period):
+        ts = date_like.start_time
+        return date(ts.year, ts.month, ts.day)
+    if isinstance(date_like, str):
+        ts = pd.Timestamp(date_like)
+        return date(ts.year, ts.month, ts.day)
+    if isinstance(date_like, datetime):
+        return date_like.date()
+    if isinstance(date_like, date):
+        return date_like
+    raise TypeError(type(date_like))
+
+
+class MultiFactorModel:
+    """Closed-form analytics of the multi-factor model.
+
+    Reference: the pure-Python mirror class (``multi_factor.py:151-251``) —
+    integrated covariance/variance/vol/correlation of forward contracts under
+
+        dF(t,T)/F = sum_i sigma_i(T) e^{-alpha_i (T-t)} dW_i.
+    """
+
+    _corr_tolerance = 1e-10
+
+    def __init__(
+        self,
+        freq: str,
+        factors: Iterable[FactorType],
+        factor_corrs: FactorCorrsType = None,
+        time_func: Optional[TimeFunctionType] = None,
+    ):
+        factors = list(factors)
+        self._factor_corrs = validate_multi_factor_params(factors, factor_corrs)
+        self._factors = factors
+        self._time_func = act_365 if time_func is None else time_func
+        self._freq = freq
+
+    @property
+    def num_factors(self) -> int:
+        return len(self._factors)
+
+    def integrated_covar(self, obs_start, obs_end, fwd_contract_1, fwd_contract_2) -> float:
+        """Covariance of ln F(., T1) and ln F(., T2) observed over
+        [obs_start, obs_end] (``multi_factor.py:166-187``)."""
+        obs_end_t = self._time_func(obs_start, obs_end)
+        if obs_end_t < 0.0:
+            raise ValueError("obs_end cannot be before obs_start.")
+        fwd_1_t = self._time_func(obs_start, fwd_contract_1)
+        fwd_2_t = self._time_func(obs_start, fwd_contract_2)
+
+        cov = 0.0
+        for (i, j), corr in np.ndenumerate(self._factor_corrs):
+            mr_i, vol_curve_i = self._factors[i]
+            mr_j, vol_curve_j = self._factors[j]
+            vol_i = _curve_lookup(vol_curve_i, fwd_contract_1, i)
+            vol_j = _curve_lookup(vol_curve_j, fwd_contract_2, j)
+            x = mr_i + mr_j
+            if x == 0.0:
+                time_term = obs_end_t
+            else:
+                time_term = (math.exp(x * obs_end_t) - 1.0) / x
+            cov += (
+                vol_i * vol_j * corr * math.exp(-mr_i * fwd_1_t - mr_j * fwd_2_t) * time_term
+            )
+        return cov
+
+    def integrated_variance(self, obs_start, obs_end, fwd_contract) -> float:
+        return self.integrated_covar(obs_start, obs_end, fwd_contract, fwd_contract)
+
+    def integrated_stan_dev(self, obs_start, obs_end, fwd_contract) -> float:
+        return math.sqrt(self.integrated_variance(obs_start, obs_end, fwd_contract))
+
+    def integrated_vol(self, val_date, expiry, fwd_contract) -> float:
+        time_to_expiry = self._time_func(val_date, expiry)
+        if time_to_expiry <= 0:
+            raise ValueError("val_date must be before expiry.")
+        return math.sqrt(
+            self.integrated_variance(val_date, expiry, fwd_contract) / time_to_expiry
+        )
+
+    def integrated_corr(self, obs_start, obs_end, fwd_contract_1, fwd_contract_2) -> float:
+        covariance = self.integrated_covar(obs_start, obs_end, fwd_contract_1, fwd_contract_2)
+        var_1 = self.integrated_variance(obs_start, obs_end, fwd_contract_1)
+        var_2 = self.integrated_variance(obs_start, obs_end, fwd_contract_2)
+        corr = covariance / math.sqrt(var_1 * var_2)
+        if 1.0 < corr < 1.0 + self._corr_tolerance:
+            return 1.0
+        if -1.0 - self._corr_tolerance < corr < -1.0:
+            return -1.0
+        return corr
+
+    @staticmethod
+    def for_3_factor_seasonal(
+        freq: str,
+        spot_mean_reversion: float,
+        spot_vol: float,
+        long_term_vol: float,
+        seasonal_vol: float,
+        start,
+        end,
+        time_func: Optional[TimeFunctionType] = None,
+    ) -> "MultiFactorModel":
+        factors, factor_corrs = create_3_factor_season_params(
+            freq, spot_mean_reversion, spot_vol, long_term_vol, seasonal_vol, start, end
+        )
+        return MultiFactorModel(freq, factors, factor_corrs, time_func)
+
+
+def create_3_factor_season_params(
+    freq: str,
+    spot_mean_reversion: float,
+    spot_vol: float,
+    long_term_vol: float,
+    seasonal_vol: float,
+    start: PeriodLike,
+    end: PeriodLike,
+) -> Tuple[List[FactorType], np.ndarray]:
+    """Three-factor seasonal parameterisation.
+
+    Reference: ``create_3_factor_season_params`` (``multi_factor.py:258-289``)
+    and the .NET ``MultiFactorParameters.For3FactorSeasonal``: a mean-reverting
+    spot factor, a zero-MR long-term factor, and a zero-MR seasonal factor
+    whose vol is a sinusoid of amplitude ``seasonal_vol / 2`` peaking each
+    Feb-1 (phase pi/2), all mutually uncorrelated.
+    """
+    factor_corrs = np.eye(3, dtype=np.float64)
+    norm_freq = normalize_freq(freq)
+    start_period = to_period(start, norm_freq)
+    end_period = to_period(end, norm_freq)
+    index = pd.period_range(start=start_period, end=end_period, freq=norm_freq)
+    long_term_vol_curve = pd.Series(index=index, data=[long_term_vol] * len(index))
+    spot_vol_curve = pd.Series(index=index.copy(), data=[spot_vol] * len(index))
+
+    peak_period = pd.Period(year=start_period.year, month=2, day=1, freq=norm_freq)
+    phase = np.pi / 2.0
+    amplitude = seasonal_vol / 2.0
+    t_from_peak = np.array(
+        [
+            (p.start_time - peak_period.start_time).total_seconds() / SECONDS_PER_YEAR
+            for p in index
+        ]
+    )
+    seasonal_vol_curve = pd.Series(
+        index=index.copy(), data=np.sin(2.0 * np.pi * t_from_peak + phase) * amplitude
+    )
+    factors: List[FactorType] = [
+        (spot_mean_reversion, spot_vol_curve),
+        (0.0, long_term_vol_curve),
+        (0.0, seasonal_vol_curve),
+    ]
+    return factors, factor_corrs
+
+
+def build_sim_coefficients(
+    factors: Sequence[FactorType],
+    factor_corrs: np.ndarray,
+    current_date,
+    fwd_curve: CurveType,
+    sim_periods: Sequence[pd.Period],
+    time_func=None,
+):
+    """Assemble :class:`SimCoefficients` for a list of simulation periods.
+
+    Vol and forward curves are sampled by **exact lookup** per simulated
+    period, mirroring the reference simulator's dictionary-curve contract.
+    """
+    time_func = time_func or act_365
+    times = np.array([time_func(current_date, p) for p in sim_periods], dtype=np.float64)
+    if np.any(times <= 0.0):
+        raise ValueError("All simulated periods must be after the current date.")
+    num_factors = len(factors)
+    vols = np.empty((len(sim_periods), num_factors), dtype=np.float64)
+    for f, (_mr, vol_curve) in enumerate(factors):
+        for k, p in enumerate(sim_periods):
+            vols[k, f] = _curve_lookup(vol_curve, p, f)
+    forwards = np.array(
+        [_curve_lookup(fwd_curve, p, -1) for p in sim_periods], dtype=np.float64
+    )
+    mean_reversions = np.array([mr for mr, _ in factors], dtype=np.float64)
+    return sim_coefficients(mean_reversions, vols, factor_corrs, times, forwards)
+
+
+class MultiFactorSpotSim:
+    """Standalone spot-price simulator returning a (periods x sims) DataFrame.
+
+    API mirrors the reference class (``multi_factor.py:49-92``); the RNG is
+    threefry (``jax.random``) instead of Mersenne Twister, so seeded values
+    differ from the reference but are deterministic per seed.
+    """
+
+    def __init__(
+        self,
+        freq: str,
+        factors: Iterable[FactorType],
+        factor_corrs: FactorCorrsType,
+        current_date: Union[datetime, date, str, pd.Period],
+        fwd_curve: CurveType,
+        sim_periods: Iterable[Union[pd.Period, datetime, date, str]],
+        seed: Optional[int] = None,
+        antithetic: bool = False,
+        time_func=None,
+        dtype=jnp.float32,
+    ):
+        factors = list(factors)
+        factor_corrs = validate_multi_factor_params(factors, factor_corrs)
+        norm_freq = normalize_freq(freq)
+        self._sim_periods = [
+            p if isinstance(p, pd.Period) else to_period(p, norm_freq) for p in sim_periods
+        ]
+        self._coeffs = build_sim_coefficients(
+            factors, factor_corrs, current_date, fwd_curve, self._sim_periods, time_func
+        )
+        self._freq = norm_freq
+        self._seed = seed
+        self._antithetic = antithetic
+        self._dtype = dtype
+        self._num_factors = len(factors)
+
+    def simulate(self, num_sims: int) -> pd.DataFrame:
+        spots, _factors = simulate_spot_paths(
+            self._coeffs, num_sims, self._seed, self._antithetic, self._dtype
+        )
+        period_index = pd.PeriodIndex(data=self._sim_periods, freq=self._freq)
+        return pd.DataFrame(data=np.asarray(spots), index=period_index)
+
+    def simulate_with_factors(self, num_sims: int):
+        """Spots and Markov factor states as arrays (``[n, S]``, ``[n, F, S]``)."""
+        return simulate_spot_paths(
+            self._coeffs, num_sims, self._seed, self._antithetic, self._dtype
+        )

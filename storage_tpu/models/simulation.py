@@ -1,0 +1,183 @@
+"""Multi-factor spot-price path simulation (JAX).
+
+TPU-native replacement for the reference's native (NuGet, MKL-backed)
+``Cmdty.Core.Simulation.MultiFactor.MultiFactorSpotPriceSimulator`` (call
+sites: ``LsmcValuationParameters.cs:163-178``, ``multi_factor.py:49-92``).
+
+Model (see SURVEY.md §2.2): risk-neutral forward dynamics
+
+    dF(t,T)/F(t,T) = sum_i sigma_i(T) e^{-alpha_i (T-t)} dW_i,   corr(dW_i,dW_j)=rho_ij
+
+so the spot S(t) = F(t,t) is log-normal around the initial forward curve:
+
+    ln S(t_k) = ln F(0,t_k) - V_k/2 + sum_i sigma_i(t_k) * Y_i(t_k)
+
+with dimensionless OU factor states Y_i (dY_i = -alpha_i Y_i dt + dW_i) and
+V_k = Var[sum_i sigma_i(t_k) Y_i(t_k)] given by the closed-form integrated
+covariance (confirmed against the reference's pure-Python mirror
+``MultiFactorModel.integrated_covar``, ``multi_factor.py:145-187``).
+
+Discretisation is **exact** (no Euler error): between sim times the factor
+update is ``Y_k = e^{-alpha dt} Y_{k-1} + L_k Z_k`` where ``L_k`` is the
+Cholesky factor of the exact increment covariance
+
+    Cov(eps_i, eps_j) = rho_ij (1 - e^{-(alpha_i+alpha_j) dt}) / (alpha_i + alpha_j).
+
+All per-step coefficients are precomputed on host in float64; the device
+kernel is a ``lax.scan`` of rank-F matmuls over [F, S] normal draws from
+threefry (``jax.random``), with antithetic mirroring.  The Markov factor
+states Y_i are returned per (step, sim) for use as LSMC regressors
+(reference ``ISpotSimResults.MarkovFactorsForPeriod``).
+
+Seed parity with the reference's Mersenne Twister is impossible by design;
+golden values are re-pinned for threefry (BASELINE.md note on seeds).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _cont_ext(x: np.ndarray, dt) -> np.ndarray:
+    """(1 - e^{-x dt}) / x with the x -> 0 limit dt (reference
+    ``MultiFactorModel._cont_ext``, ``multi_factor.py:225-229``)."""
+    x = np.asarray(x, dtype=np.float64)
+    safe = np.where(x == 0.0, 1.0, x)
+    return np.where(x == 0.0, dt, (1.0 - np.exp(-safe * dt)) / safe)
+
+
+@dataclass(frozen=True)
+class SimCoefficients:
+    """Host-precomputed per-step simulation coefficients (all float64).
+
+    Shapes: n sim steps, F factors.
+    """
+
+    decay: np.ndarray  # [n, F] e^{-alpha_i dt_k}
+    chol: np.ndarray  # [n, F, F] Cholesky of exact increment covariance
+    vols: np.ndarray  # [n, F] sigma_i(t_k) of the spot for each sim period
+    log_fwd_drift: np.ndarray  # [n] ln F(0,t_k) - V_k / 2
+
+
+def sim_coefficients(
+    mean_reversions: np.ndarray,  # [F]
+    vols: np.ndarray,  # [n, F] factor vol for each simulated period
+    factor_corrs: np.ndarray,  # [F, F]
+    times: np.ndarray,  # [n] year fractions from the valuation date
+    forwards: np.ndarray,  # [n] F(0, t_k)
+) -> SimCoefficients:
+    """Precompute exact-discretisation coefficients."""
+    alphas = np.asarray(mean_reversions, dtype=np.float64)
+    vols = np.asarray(vols, dtype=np.float64)
+    corrs = np.asarray(factor_corrs, dtype=np.float64)
+    times = np.asarray(times, dtype=np.float64)
+    forwards = np.asarray(forwards, dtype=np.float64)
+    n, num_factors = vols.shape
+    alpha_sum = alphas[:, None] + alphas[None, :]  # [F, F]
+
+    prev_times = np.concatenate([[0.0], times[:-1]])
+    dts = times - prev_times
+    if np.any(dts < 0.0):
+        raise ValueError("Simulation times must be non-decreasing.")
+
+    decay = np.exp(-alphas[None, :] * dts[:, None])  # [n, F]
+
+    chol = np.empty((n, num_factors, num_factors), dtype=np.float64)
+    for k in range(n):
+        cov = corrs * _cont_ext(alpha_sum, dts[k])
+        # Tiny jitter guards semidefinite cases (dt == 0 or perfectly
+        # correlated factors) without perturbing healthy covariances.
+        try:
+            chol[k] = np.linalg.cholesky(cov)
+        except np.linalg.LinAlgError:
+            eye = np.eye(num_factors) * 1e-14
+            w, v = np.linalg.eigh(cov + eye)
+            w = np.clip(w, 0.0, None)
+            chol[k] = np.linalg.cholesky(v @ np.diag(w) @ v.T + eye)
+
+    # V_k = Var[sum_i sigma_i(t_k) Y_i(t_k)]
+    variance = np.einsum(
+        "kf,kg,fg,kfg->k",
+        vols,
+        vols,
+        corrs,
+        _cont_ext(alpha_sum[None, :, :], times[:, None, None]),
+    )
+    log_fwd_drift = np.log(forwards) - 0.5 * variance
+    return SimCoefficients(decay=decay, chol=chol, vols=vols, log_fwd_drift=log_fwd_drift)
+
+
+@partial(jax.jit, static_argnames=("num_sims", "antithetic"))
+def _simulate_kernel(
+    key,
+    decay,  # [n, F]
+    chol,  # [n, F, F]
+    vols,  # [n, F]
+    log_fwd_drift,  # [n]
+    num_sims: int,
+    antithetic: bool,
+):
+    """Device kernel: scan factor states over time, emit spots and factors.
+
+    Returns ``(spots [n, S], factors [n, F, S])``.
+    """
+    n, num_factors = decay.shape
+    dtype = decay.dtype
+    if antithetic:
+        half = (num_sims + 1) // 2
+        normals = jax.random.normal(key, (n, num_factors, half), dtype=dtype)
+        normals = jnp.concatenate([normals, -normals], axis=-1)[:, :, :num_sims]
+    else:
+        normals = jax.random.normal(key, (n, num_factors, num_sims), dtype=dtype)
+
+    def step(y_prev, inputs):
+        decay_k, chol_k, z_k = inputs
+        # Exact OU update: decay + correlated increment.  F is tiny, so the
+        # matmul is a cheap [F,F]x[F,S] contraction fused by XLA.
+        y_k = decay_k[:, None] * y_prev + jnp.dot(
+            chol_k, z_k, preferred_element_type=dtype
+        )
+        return y_k, y_k
+
+    y0 = jnp.zeros((num_factors, num_sims), dtype=dtype)
+    _, factors = jax.lax.scan(step, y0, (decay, chol, normals))  # [n, F, S]
+
+    log_spots = jnp.einsum("nf,nfs->ns", vols, factors) + log_fwd_drift[:, None]
+    return jnp.exp(log_spots), factors
+
+
+def simulate_spot_paths(
+    coeffs: SimCoefficients,
+    num_sims: int,
+    seed: Optional[int],
+    antithetic: bool = False,
+    dtype=jnp.float32,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Simulate spot paths and Markov factor states.
+
+    Equivalent of ``MultiFactorSpotPriceSimulator.Simulate(numSims)``; the
+    threefry ``seed`` replaces the reference's ``MersenneTwisterGenerator``
+    seed (``multi_factor.py:76-80``).
+
+    Returns:
+      spots ``[n, S]``, factors ``[n, F, S]`` on device.
+    """
+    if key is None:
+        if seed is None:
+            seed = np.random.SeedSequence().entropy % (2**63)
+        key = jax.random.PRNGKey(int(seed))
+    return _simulate_kernel(
+        key,
+        jnp.asarray(coeffs.decay, dtype),
+        jnp.asarray(coeffs.chol, dtype),
+        jnp.asarray(coeffs.vols, dtype),
+        jnp.asarray(coeffs.log_fwd_drift, dtype),
+        num_sims=int(num_sims),
+        antithetic=bool(antithetic),
+    )
