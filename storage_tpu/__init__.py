@@ -15,6 +15,17 @@ from .exceptions import InventoryConstraintsCannotBeFulfilledError, StorageError
 from .storage import CmdtyStorage
 from .types import InjectWithdrawRange, RatchetInterp, TriggerPricePoint, TriggerPriceProfile
 from .engines.intrinsic import IntrinsicValuationResults, intrinsic_value
+from .engines.lsmc import ValuationCancelledError
+from .models.multi_factor import (
+    MultiFactorModel,
+    MultiFactorSpotSim,
+    create_3_factor_season_params,
+)
+from .valuation import (
+    MultiFactorValuationResults,
+    multi_factor_value,
+    three_factor_seasonal_value,
+)
 from .utils.frequencies import SUPPORTED_FREQS
 from .utils.basis import parse_basis_functions
 
@@ -40,8 +51,15 @@ __all__ = [
     "TriggerPriceProfile",
     "IntrinsicValuationResults",
     "intrinsic_value",
+    "MultiFactorModel",
+    "MultiFactorSpotSim",
+    "MultiFactorValuationResults",
+    "multi_factor_value",
+    "three_factor_seasonal_value",
+    "create_3_factor_season_params",
     "InventoryConstraintsCannotBeFulfilledError",
     "StorageError",
+    "ValuationCancelledError",
     "SUPPORTED_FREQS",
     "parse_basis_functions",
     "numerics_provider",

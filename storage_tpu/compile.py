@@ -64,7 +64,7 @@ class ValuationContext:
     inventory_loss: np.ndarray  # [n]
     inventory_cost_rate: np.ndarray  # [n]
     df_settle: np.ndarray  # [n] discount from val day to settle day of step k
-    df_start: np.ndarray  # [n] discount from val day to period-start day of step k
+    df_cost: np.ndarray  # [n] discount from val day to the cost cash-flow day of step k
     fwd: np.ndarray  # [n+1] forward prices over the active window
     numerical_tolerance: float
 
@@ -153,8 +153,12 @@ def build_valuation_context(
     else:
         settle_days = [to_day(settlement_rule(p)) for p in decision_periods]
     df_settle = discount_factors_for_days(discounter, present_day, settle_days)
-    start_days = [period_start_day(p) for p in decision_periods]
-    df_start = discount_factors_for_days(discounter, present_day, start_days)
+    cost_rule = storage.cost_cash_flow_rule
+    if cost_rule is None:
+        cost_days = [period_start_day(p) for p in decision_periods]
+    else:
+        cost_days = [to_day(cost_rule(p)) for p in decision_periods]
+    df_cost = discount_factors_for_days(discounter, present_day, cost_days)
 
     return ValuationContext(
         storage=storage,
@@ -176,7 +180,7 @@ def build_valuation_context(
         inventory_loss=loss,
         inventory_cost_rate=storage.inventory_cost_by_step[start_offset:],
         df_settle=df_settle,
-        df_start=df_start,
+        df_cost=df_cost,
         fwd=fwd,
         numerical_tolerance=numerical_tolerance,
     )

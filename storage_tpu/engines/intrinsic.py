@@ -151,7 +151,7 @@ def _forward_sweep(ctx: ValuationContext, values: np.ndarray, extra_decisions: i
             inv_cost = float(ctx.inventory_cost_rate[k]) * inv
             period_pv = (
                 -(d + consumed) * price * float(ctx.df_settle[k])
-                - (iw_cost + inv_cost) * float(ctx.df_start[k])
+                - (iw_cost + inv_cost) * float(ctx.df_cost[k])
             )
             totals[d_idx] = period_pv + cont
             period_pvs[d_idx] = period_pv
@@ -236,7 +236,7 @@ def intrinsic_value(
         jnp.asarray(ctx.cons_withdraw, dtype),
         jnp.asarray(ctx.inventory_cost_rate, dtype),
         jnp.asarray(ctx.df_settle, dtype),
-        jnp.asarray(ctx.df_start, dtype),
+        jnp.asarray(ctx.df_cost, dtype),
         jnp.asarray(ctx.fwd, dtype),
         jnp.asarray(terminal, dtype),
         interp_kind=ctx.interp_kind,

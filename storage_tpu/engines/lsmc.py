@@ -1,0 +1,681 @@
+"""Least-Squares Monte Carlo storage valuation — the flagship engine.
+
+Reference: ``LsmcStorageValuation.Calculate<T>``
+(``LsmcValuation/LsmcStorageValuation.cs:55-617``).  The TPU formulation
+(SURVEY.md §3.2, §7 stage 4):
+
+- **Backward induction** is a ``lax.scan`` over periods carrying the
+  value-by-(sim, grid) matrix ``V [S, G]``.  Per period: one design matrix
+  ``[S, B]``, one standardized normal-equations solve for ALL grid columns at
+  once (two MXU matmuls + a [B,B] Cholesky — replacing the reference's
+  float64 MKL QR, :186-191), fixed-width bang-bang decisions, O(1)
+  uniform-grid continuation interpolation, and a static unrolled loop over the
+  small decision axis so peak memory stays at a few ``[S, G]`` buffers.
+- The **lower-bound estimator subtlety** is preserved exactly: the argmax is
+  taken over *fitted* continuation values but the realised value uses the
+  *actual* simulated continuation of the chosen decision (:321-329) — using
+  fitted values for both silently biases the NPV high.
+- **Forward pass** is a second scan carrying per-sim inventory, re-applying
+  the saved regression coefficients (with their standardization constants) to
+  the independent valuation path set (:374-562), accumulating per-sim panels,
+  per-period deltas and trigger prices.
+- **Distribution-ready**: sims are the batch axis everywhere; under a
+  path-sharded mesh the Gram/cross products and all means become cross-shard
+  ``psum`` reductions that XLA inserts automatically (see
+  :mod:`storage_tpu.parallel`).
+
+Deviations from the reference (documented design choices):
+
+- Per-period grids are fixed-count linspace over the reduced inventory space
+  rather than global-spacing ragged grids (see ``compile.py`` note).
+- The end-period terminal PV uses the **valuation** path set's end-period spot
+  prices; the reference reads the regression sims there
+  (``LsmcStorageValuation.cs:567``) even though the forward inventory paths
+  came from the valuation sims.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..compile import ValuationContext
+from ..exceptions import StorageError
+from ..ops.interp import fractional_index
+from ..ops.regression import BasisSpec, design_matrix, fit_continuation, standardize_columns
+from .common import step_economics
+
+NUM_TRIGGER_VOLUMES = 10  # reference numTriggerPriceVolumes (LsmcStorageValuation.cs:367)
+BACKWARD_PCNT_TIME = 0.66  # reference progress weighting (LsmcStorageValuation.cs:46)
+
+
+class ValuationCancelledError(StorageError):
+    """Raised when a cancellation callback requests a stop (reference:
+    ``CancellationToken.ThrowIfCancellationRequested``, :339, :490)."""
+
+
+class LsmcArrays(NamedTuple):
+    """Raw device outputs of one LSMC run (engine-level, pre-pandas)."""
+
+    npv: jax.Array  # scalar — forward (lower-bound) estimate
+    backward_npv: jax.Array  # scalar — backward estimate, diagnostic
+    deltas: jax.Array  # [n+1] (last entry 0)
+    inventory: jax.Array  # [n+1, S] pre-decision inventory per period
+    inject_withdraw: jax.Array  # [n+1, S]
+    cmdty_consumed: jax.Array  # [n+1, S]
+    inventory_loss: jax.Array  # [n+1, S]
+    net_volume: jax.Array  # [n+1, S]
+    period_pv: jax.Array  # [n+1, S]
+    pv_by_sim: jax.Array  # [S]
+    trigger_has_inject: jax.Array  # [n] bool
+    trigger_has_withdraw: jax.Array  # [n] bool
+    trigger_inject_volumes: jax.Array  # [n, 10]
+    trigger_inject_prices: jax.Array  # [n, 10]
+    trigger_withdraw_volumes: jax.Array  # [n, 10] (ordered |vol| increasing)
+    trigger_withdraw_prices: jax.Array  # [n, 10]
+
+
+@dataclass(frozen=True)
+class LsmcDeviceInputs:
+    """Static-shape device arrays compiled from a :class:`ValuationContext`."""
+
+    grids: jax.Array  # [n+1, G]
+    space_lo: jax.Array  # [n+1]
+    space_hi: jax.Array  # [n+1]
+    pillars: jax.Array  # [n, P, 3]
+    loss: jax.Array  # [n]
+    inject_cost: jax.Array
+    withdraw_cost: jax.Array
+    cons_inject: jax.Array
+    cons_withdraw: jax.Array
+    inv_cost_rate: jax.Array
+    df_settle: jax.Array
+    df_start: jax.Array
+    fwd: jax.Array  # [n+1]
+    inventory: float
+
+
+def device_inputs(ctx: ValuationContext, dtype) -> LsmcDeviceInputs:
+    return LsmcDeviceInputs(
+        grids=jnp.asarray(ctx.grids, dtype),
+        space_lo=jnp.asarray(ctx.inv_space.min_inventory, dtype),
+        space_hi=jnp.asarray(ctx.inv_space.max_inventory, dtype),
+        pillars=jnp.asarray(ctx.pillars, dtype),
+        loss=jnp.asarray(ctx.inventory_loss, dtype),
+        inject_cost=jnp.asarray(ctx.inject_cost, dtype),
+        withdraw_cost=jnp.asarray(ctx.withdraw_cost, dtype),
+        cons_inject=jnp.asarray(ctx.cons_inject, dtype),
+        cons_withdraw=jnp.asarray(ctx.cons_withdraw, dtype),
+        inv_cost_rate=jnp.asarray(ctx.inventory_cost_rate, dtype),
+        df_settle=jnp.asarray(ctx.df_settle, dtype),
+        df_start=jnp.asarray(ctx.df_cost, dtype),
+        fwd=jnp.asarray(ctx.fwd, dtype),
+        inventory=ctx.inventory,
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Backward induction                                                          #
+# --------------------------------------------------------------------------- #
+
+
+def _backward_step_core(
+    v_next,  # [S, G]
+    spot,  # [S]
+    factors,  # [F, S]
+    grid,  # [G]
+    next_lo,
+    next_hi,
+    pillars,
+    loss,
+    inject_cost,
+    withdraw_cost,
+    cons_inject,
+    cons_withdraw,
+    inv_cost_rate,
+    df_settle,
+    df_start,
+    *,
+    spec: BasisSpec,
+    interp_kind: int,
+    num_grid_points: int,
+    extra_decisions: int,
+):
+    """One backward-induction period (reference :166-340).
+
+    Returns ``(v_this [S, G], coeffs [B, G], mean [B], scale [B])``.
+    """
+    X = design_matrix(spec, spot, factors)
+    Xs, mu, sd = standardize_columns(X)
+    coeffs = fit_continuation(Xs, v_next)  # [B, G]
+    fitted = jnp.dot(Xs, coeffs, preferred_element_type=Xs.dtype)  # [S, G]
+
+    econ = step_economics(
+        grid, pillars, interp_kind, loss, next_lo, next_hi,
+        inject_cost, withdraw_cost, cons_inject, cons_withdraw,
+        inv_cost_rate, df_settle, df_start, extra_decisions,
+    )
+    j, w = fractional_index(econ.inventory_after, next_lo, next_hi, num_grid_points)
+    # [G, D] indices/weights onto the next period's grid columns.
+
+    num_decisions = econ.decisions.shape[-1]
+    neg_inf = jnp.asarray(-jnp.inf, v_next.dtype)
+    best_fitted_total = jnp.full(v_next.shape, neg_inf)
+    best_actual_total = jnp.zeros_like(v_next)
+    for d in range(num_decisions):  # static small D: keeps peak memory at O(S*G)
+        j_d, w_d = j[:, d], w[:, d]
+        fitted_cont = jnp.take(fitted, j_d, axis=1) * (1.0 - w_d) + jnp.take(
+            fitted, j_d + 1, axis=1
+        ) * w_d  # [S, G]
+        actual_cont = jnp.take(v_next, j_d, axis=1) * (1.0 - w_d) + jnp.take(
+            v_next, j_d + 1, axis=1
+        ) * w_d
+        immediate = econ.price_coeff[None, :, d] * spot[:, None] - econ.cost_npv[None, :, d]
+        total_fitted = immediate + fitted_cont
+        better = total_fitted > best_fitted_total
+        best_fitted_total = jnp.where(better, total_fitted, best_fitted_total)
+        # Lower-bound estimator: realised value of the chosen decision uses the
+        # ACTUAL simulated continuation (reference :321-329).
+        best_actual_total = jnp.where(better, immediate + actual_cont, best_actual_total)
+    return best_actual_total, coeffs, mu, sd
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "interp_kind", "num_grid_points", "extra_decisions"),
+)
+def backward_scan(
+    v_init,  # [S, G] value at the period AFTER the last one in this chunk
+    spots,  # [m, S]
+    factors,  # [m, F, S]
+    grids,  # [m, G] grid of each period in the chunk
+    next_lo,  # [m]
+    next_hi,  # [m]
+    pillars,  # [m, P, 3]
+    loss,
+    inject_cost,
+    withdraw_cost,
+    cons_inject,
+    cons_withdraw,
+    inv_cost_rate,
+    df_settle,
+    df_start,
+    spec: BasisSpec,
+    interp_kind: int,
+    num_grid_points: int,
+    extra_decisions: int,
+):
+    """Reverse scan over a chunk of periods.  Inputs are time-ordered; the scan
+    runs backwards.  Returns final carry + per-period regression data."""
+
+    def step(v_next, xs):
+        (spot, f, grid, lo, hi, pil, lo_r, ic, wc, ci, cw, icr, dfs, df0) = xs
+        v_this, coeffs, mu, sd = _backward_step_core(
+            v_next, spot, f, grid, lo, hi, pil, lo_r, ic, wc, ci, cw, icr, dfs, df0,
+            spec=spec, interp_kind=interp_kind,
+            num_grid_points=num_grid_points, extra_decisions=extra_decisions,
+        )
+        return v_this, (coeffs, mu, sd)
+
+    xs = (
+        spots, factors, grids, next_lo, next_hi, pillars, loss,
+        inject_cost, withdraw_cost, cons_inject, cons_withdraw, inv_cost_rate,
+        df_settle, df_start,
+    )
+    v_final, (coeffs, mu, sd) = jax.lax.scan(step, v_init, xs, reverse=True)
+    return v_final, coeffs, mu, sd
+
+
+# --------------------------------------------------------------------------- #
+# Forward simulation                                                          #
+# --------------------------------------------------------------------------- #
+
+
+def _trigger_calc(
+    mean_cont,  # [G] sim-average fitted continuation on the next grid
+    expected_inventory,
+    pillars,
+    interp_kind,
+    loss_rate,
+    next_lo,
+    next_hi,
+    inject_cost,
+    withdraw_cost,
+    cons_inject,
+    cons_withdraw,
+    inv_cost_rate,
+    df_settle,
+    df_start,
+    num_grid_points,
+    extra_decisions,
+):
+    """Trigger-price ladders at the expected inventory (reference :492-561).
+
+    Trigger price p solves  ΔContinuation − ΔCost = p · df · (ΔVolume + ΔConsumed)
+    between a candidate volume and the 'alternative' (usually zero) decision.
+    """
+    econ = step_economics(
+        jnp.reshape(expected_inventory, (1,)), pillars, interp_kind, loss_rate,
+        next_lo, next_hi, inject_cost, withdraw_cost, cons_inject, cons_withdraw,
+        inv_cost_rate, df_settle, df_start, extra_decisions,
+    )
+    decisions = econ.decisions[0]  # [D]
+    loss_amt = loss_rate * expected_inventory
+    max_inject = jnp.max(decisions)
+    max_withdraw = jnp.min(decisions)
+    big = jnp.asarray(jnp.finfo(decisions.dtype).max, decisions.dtype)
+    alt_inject = jnp.min(jnp.where(decisions >= 0.0, decisions, big))
+    alt_withdraw = jnp.max(jnp.where(decisions <= 0.0, decisions, -big))
+
+    def cont_at(volume):
+        after = expected_inventory + volume - loss_amt
+        j, w = fractional_index(after, next_lo, next_hi, num_grid_points)
+        return jnp.take(mean_cont, j) * (1.0 - w) + jnp.take(mean_cont, j + 1) * w
+
+    def cost_of(volume):
+        return jnp.where(
+            volume > 0.0, inject_cost * volume, withdraw_cost * (-volume)
+        ) * df_start
+
+    def consumed_of(volume):
+        return jnp.where(volume > 0.0, cons_inject * volume, cons_withdraw * (-volume))
+
+    def trigger_price(volumes, alt):
+        d_cont = cont_at(volumes) - cont_at(alt)
+        d_cost = cost_of(volumes) - cost_of(alt)
+        d_consumed = consumed_of(volumes) - consumed_of(alt)
+        denom = df_settle * (volumes - alt + d_consumed)
+        return (d_cont - d_cost) / denom
+
+    steps = jnp.arange(1, NUM_TRIGGER_VOLUMES + 1, dtype=decisions.dtype)
+    inject_volumes = alt_inject + steps * (max_inject - alt_inject) / NUM_TRIGGER_VOLUMES
+    inject_prices = trigger_price(inject_volumes, alt_inject)
+    has_inject = (max_inject > 0.0) & (max_inject > alt_inject)
+
+    withdraw_volumes = alt_withdraw + steps * (max_withdraw - alt_withdraw) / NUM_TRIGGER_VOLUMES
+    withdraw_prices = trigger_price(withdraw_volumes, alt_withdraw)
+    has_withdraw = (max_withdraw < 0.0) & (max_withdraw < alt_withdraw)
+    return (
+        has_inject, inject_volumes, inject_prices,
+        has_withdraw, withdraw_volumes, withdraw_prices,
+    )
+
+
+def _forward_step_core(
+    carry,
+    spot,  # [S]
+    cont,  # [S, G] fitted continuation on next grid, per sim
+    next_lo,
+    next_hi,
+    pillars,
+    loss_rate,
+    inject_cost,
+    withdraw_cost,
+    cons_inject,
+    cons_withdraw,
+    inv_cost_rate,
+    df_settle,
+    df_start,
+    fwd_price,
+    discount_for_deltas,
+    *,
+    interp_kind: int,
+    num_grid_points: int,
+    extra_decisions: int,
+):
+    """One forward-simulation period (reference :374-490)."""
+    inv, pv = carry
+    econ = step_economics(
+        inv, pillars, interp_kind, loss_rate, next_lo, next_hi,
+        inject_cost, withdraw_cost, cons_inject, cons_withdraw,
+        inv_cost_rate, df_settle, df_start, extra_decisions,
+    )  # decision axis last: [S, D]
+    j, w = fractional_index(econ.inventory_after, next_lo, next_hi, num_grid_points)
+    cont_d = jnp.take_along_axis(cont, j, axis=1) * (1.0 - w) + jnp.take_along_axis(
+        cont, j + 1, axis=1
+    ) * w  # [S, D]
+    immediate = econ.immediate_npv(spot[:, None])  # [S, D]
+    total = immediate + cont_d
+    best = jnp.argmax(total, axis=1)  # [S] first-occurrence argmax like reference
+
+    take = lambda arr: jnp.take_along_axis(arr, best[:, None], axis=1)[:, 0]
+    volume = take(econ.decisions)
+    consumed = take(econ.consumed)
+    imm_pv = take(immediate)
+    loss_amt = loss_rate * inv
+    new_inv = inv + volume - loss_amt
+    new_pv = pv + imm_pv
+
+    net_volume = -volume - consumed
+    delta = jnp.mean(net_volume * spot) / fwd_price * discount_for_deltas
+
+    mean_cont = jnp.mean(cont, axis=0)  # [G] for trigger prices
+    expected_inventory = jnp.mean(inv)
+    triggers = _trigger_calc(
+        mean_cont, expected_inventory, pillars, interp_kind, loss_rate,
+        next_lo, next_hi, inject_cost, withdraw_cost, cons_inject, cons_withdraw,
+        inv_cost_rate, df_settle, df_start, num_grid_points, extra_decisions,
+    )
+    outputs = (inv, volume, consumed, loss_amt, net_volume, imm_pv, delta) + triggers
+    return (new_inv, new_pv), outputs
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "interp_kind", "num_grid_points", "extra_decisions"),
+)
+def forward_scan(
+    carry,
+    spots,  # [m, S]
+    factors,  # [m, F, S]
+    coeffs,  # [m, B, G]
+    mus,  # [m, B]
+    sds,  # [m, B]
+    next_lo,  # [m]
+    next_hi,  # [m]
+    pillars,
+    loss,
+    inject_cost,
+    withdraw_cost,
+    cons_inject,
+    cons_withdraw,
+    inv_cost_rate,
+    df_settle,
+    df_start,
+    fwd,
+    discount_for_deltas,  # [m]
+    spec: BasisSpec,
+    interp_kind: int,
+    num_grid_points: int,
+    extra_decisions: int,
+):
+    def step(carry, xs):
+        (spot, f, cf, mu, sd, lo, hi, pil, lr, ic, wc, ci, cw, icr, dfs, df0, fp, dd) = xs
+        X = design_matrix(spec, spot, f)
+        cont = jnp.dot((X - mu) / sd, cf, preferred_element_type=X.dtype)  # [S, G]
+        return _forward_step_core(
+            carry, spot, cont, lo, hi, pil, lr, ic, wc, ci, cw, icr, dfs, df0, fp, dd,
+            interp_kind=interp_kind, num_grid_points=num_grid_points,
+            extra_decisions=extra_decisions,
+        )
+
+    xs = (
+        spots, factors, coeffs, mus, sds, next_lo, next_hi, pillars, loss,
+        inject_cost, withdraw_cost, cons_inject, cons_withdraw, inv_cost_rate,
+        df_settle, df_start, fwd, discount_for_deltas,
+    )
+    return jax.lax.scan(step, carry, xs)
+
+
+# --------------------------------------------------------------------------- #
+# Engine driver                                                               #
+# --------------------------------------------------------------------------- #
+
+
+def _chunk_bounds(n: int, num_chunks: int) -> List[Tuple[int, int]]:
+    """Split range(n) into at most num_chunks contiguous spans (for progress
+    reporting between jitted scan chunks)."""
+    num_chunks = max(1, min(num_chunks, n))
+    edges = np.linspace(0, n, num_chunks + 1).astype(int)
+    return [(int(a), int(b)) for a, b in zip(edges[:-1], edges[1:]) if b > a]
+
+
+def run_lsmc(
+    ctx: ValuationContext,
+    reg_spots: jax.Array,  # [n+1, S] (row 0 ignored when val is first step)
+    reg_factors: jax.Array,  # [n+1, F, S]
+    val_spots: jax.Array,
+    val_factors: jax.Array,
+    spec: BasisSpec,
+    discount_deltas: bool,
+    extra_decisions: int = 0,
+    dtype=jnp.float32,
+    on_progress_update: Optional[Callable[[float], None]] = None,
+    cancelled: Optional[Callable[[], bool]] = None,
+    num_progress_chunks: int = 20,
+) -> LsmcArrays:
+    """Run backward induction + forward simulation.
+
+    The scans are split into chunks only when a progress callback or
+    cancellation check is supplied, mirroring the reference's per-period
+    progress/cancellation hooks (:337-339, :488-490) without giving up
+    whole-horizon fusion in the common case.
+    """
+    n = ctx.n_steps
+    G = ctx.num_grid_points
+    dev = device_inputs(ctx, dtype)
+    num_sims = reg_spots.shape[-1]
+
+    def check_cancel():
+        if cancelled is not None and cancelled():
+            raise ValuationCancelledError("Storage valuation was cancelled.")
+
+    progress = 0.0
+
+    def report(frac_done_total: float):
+        nonlocal progress
+        progress = frac_done_total
+        if on_progress_update is not None:
+            on_progress_update(progress)
+
+    # Terminal values on the end-period grid (reference :107-128), computed on
+    # the regression path set like the backward induction itself.
+    grid_end = ctx.grids[n]
+    if ctx.storage.terminal_npv_fn is None:
+        v_end = jnp.zeros((num_sims, G), dtype=dtype)
+    else:
+        end_spots = reg_spots[n][:, None]
+        v_end = jnp.asarray(
+            ctx.storage.terminal_npv_fn(end_spots, jnp.asarray(grid_end, dtype)[None, :]),
+            dtype,
+        )
+        v_end = jnp.broadcast_to(v_end, (num_sims, G))
+
+    static = dict(
+        spec=spec, interp_kind=ctx.interp_kind,
+        num_grid_points=G, extra_decisions=extra_decisions,
+    )
+
+    first_sim_step = 1 if ctx.val_date_is_first_step else 0
+
+    # ---- Backward induction over simulated periods ---- #
+    chunked = on_progress_update is not None or cancelled is not None
+    spans = (
+        _chunk_bounds(n - first_sim_step, num_progress_chunks if chunked else 1)
+    )
+    v = v_end
+    coeffs_parts: List[jax.Array] = []
+    mu_parts: List[jax.Array] = []
+    sd_parts: List[jax.Array] = []
+    total_back = max(1, len(spans))
+    for i, (a, b) in enumerate(reversed(spans)):
+        lo_k = first_sim_step + a
+        hi_k = first_sim_step + b
+        v, coeffs_c, mu_c, sd_c = backward_scan(
+            v,
+            reg_spots[lo_k:hi_k],
+            reg_factors[lo_k:hi_k],
+            dev.grids[lo_k:hi_k],
+            dev.space_lo[lo_k + 1 : hi_k + 1],
+            dev.space_hi[lo_k + 1 : hi_k + 1],
+            dev.pillars[lo_k:hi_k],
+            dev.loss[lo_k:hi_k],
+            dev.inject_cost[lo_k:hi_k],
+            dev.withdraw_cost[lo_k:hi_k],
+            dev.cons_inject[lo_k:hi_k],
+            dev.cons_withdraw[lo_k:hi_k],
+            dev.inv_cost_rate[lo_k:hi_k],
+            dev.df_settle[lo_k:hi_k],
+            dev.df_start[lo_k:hi_k],
+            **static,
+        )
+        coeffs_parts.insert(0, coeffs_c)
+        mu_parts.insert(0, mu_c)
+        sd_parts.insert(0, sd_c)
+        check_cancel()
+        report(BACKWARD_PCNT_TIME * (i + 1) / total_back)
+    coeffs = jnp.concatenate(coeffs_parts, axis=0) if coeffs_parts else jnp.zeros(
+        (0, spec.num_basis, G), dtype
+    )
+    mus = jnp.concatenate(mu_parts, axis=0) if mu_parts else jnp.zeros((0, spec.num_basis), dtype)
+    sds = jnp.concatenate(sd_parts, axis=0) if sd_parts else jnp.ones((0, spec.num_basis), dtype)
+
+    # ---- Step 0 when the valuation date is the first active period ---- #
+    # The current period's price is deterministic, so the continuation is the
+    # plain sim-average of next-period values (reference :171-181) and the
+    # optimal decision is common to all sims.
+    if ctx.val_date_is_first_step:
+        v0, cont_mean0 = _current_period_step(
+            v, dev, ctx, spec, extra_decisions, dtype
+        )
+        backward_npv = jnp.mean(v0)
+    else:
+        cont_mean0 = None
+        backward_npv = jnp.mean(v[:, 0])
+
+    # ---- Forward simulation ---- #
+    dfd = jnp.where(
+        jnp.asarray(discount_deltas), dev.df_settle, jnp.ones_like(dev.df_settle)
+    )
+    inv0 = jnp.full((num_sims,), jnp.asarray(dev.inventory, dtype))
+    pv0 = jnp.zeros((num_sims,), dtype)
+    carry = (inv0, pv0)
+    out_parts = []
+
+    if ctx.val_date_is_first_step:
+        # Step 0 with deterministic price and mean continuation.
+        cont0 = jnp.broadcast_to(cont_mean0[None, :], (num_sims, G))
+        spot0 = jnp.full((num_sims,), dev.fwd[0])
+        carry, outputs0 = forward_step0(
+            carry, spot0, cont0, dev, ctx, spec, extra_decisions, dfd[0]
+        )
+        out_parts.append(jax.tree.map(lambda x: x[None], outputs0))
+
+    fwd_spans = _chunk_bounds(n - first_sim_step, num_progress_chunks if chunked else 1)
+    total_fwd = max(1, len(fwd_spans))
+    for i, (a, b) in enumerate(fwd_spans):
+        lo_k = first_sim_step + a
+        hi_k = first_sim_step + b
+        carry, outputs = forward_scan(
+            carry,
+            val_spots[lo_k:hi_k],
+            val_factors[lo_k:hi_k],
+            coeffs[a:b],
+            mus[a:b],
+            sds[a:b],
+            dev.space_lo[lo_k + 1 : hi_k + 1],
+            dev.space_hi[lo_k + 1 : hi_k + 1],
+            dev.pillars[lo_k:hi_k],
+            dev.loss[lo_k:hi_k],
+            dev.inject_cost[lo_k:hi_k],
+            dev.withdraw_cost[lo_k:hi_k],
+            dev.cons_inject[lo_k:hi_k],
+            dev.cons_withdraw[lo_k:hi_k],
+            dev.inv_cost_rate[lo_k:hi_k],
+            dev.df_settle[lo_k:hi_k],
+            dev.df_start[lo_k:hi_k],
+            dev.fwd[lo_k:hi_k],
+            dfd[lo_k:hi_k],
+            **static,
+        )
+        out_parts.append(outputs)
+        check_cancel()
+        report(BACKWARD_PCNT_TIME + (1.0 - BACKWARD_PCNT_TIME) * (i + 1) / total_fwd)
+
+    stacked = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *out_parts)
+    (
+        inv_rows, volume_rows, consumed_rows, loss_rows, net_rows, pv_rows, deltas_rows,
+        has_inj, inj_vols, inj_prices, has_wdr, wdr_vols, wdr_prices,
+    ) = stacked
+
+    inv_final, pv_by_sim = carry
+
+    # ---- End-period terminal PV (reference :563-579) ---- #
+    if not ctx.storage.must_be_empty_at_end and ctx.storage.terminal_npv_fn is not None:
+        terminal_pv = jnp.asarray(
+            ctx.storage.terminal_npv_fn(val_spots[n], inv_final), dtype
+        )
+        terminal_pv = jnp.broadcast_to(terminal_pv, (num_sims,))
+    else:
+        terminal_pv = jnp.zeros((num_sims,), dtype)
+    pv_by_sim = pv_by_sim + terminal_pv
+
+    zeros_row = jnp.zeros((1, num_sims), dtype)
+    inventory = jnp.concatenate([inv_rows, inv_final[None]], axis=0)
+    inject_withdraw = jnp.concatenate([volume_rows, zeros_row], axis=0)
+    cmdty_consumed = jnp.concatenate([consumed_rows, zeros_row], axis=0)
+    inventory_loss = jnp.concatenate([loss_rows, zeros_row], axis=0)
+    net_volume = jnp.concatenate([net_rows, zeros_row], axis=0)
+    period_pv = jnp.concatenate([pv_rows, terminal_pv[None]], axis=0)
+    deltas = jnp.concatenate([deltas_rows, jnp.zeros((1,), dtype)], axis=0)
+
+    npv = jnp.mean(pv_by_sim)
+    report(1.0)
+
+    return LsmcArrays(
+        npv=npv,
+        backward_npv=backward_npv,
+        deltas=deltas,
+        inventory=inventory,
+        inject_withdraw=inject_withdraw,
+        cmdty_consumed=cmdty_consumed,
+        inventory_loss=inventory_loss,
+        net_volume=net_volume,
+        period_pv=period_pv,
+        pv_by_sim=pv_by_sim,
+        trigger_has_inject=has_inj,
+        trigger_has_withdraw=has_wdr,
+        trigger_inject_volumes=inj_vols,
+        trigger_inject_prices=inj_prices,
+        trigger_withdraw_volumes=wdr_vols,
+        trigger_withdraw_prices=wdr_prices,
+    )
+
+
+def _current_period_step(v_next, dev, ctx, spec, extra_decisions, dtype):
+    """Backward value at the deterministic current period (reference :171-181,
+    :226-330 with simulatedPrices = forward price)."""
+    interp_kind = ctx.interp_kind
+    G = ctx.num_grid_points
+    cont_mean = jnp.mean(v_next, axis=0)  # [G]
+    econ = step_economics(
+        jnp.full((1,), jnp.asarray(dev.inventory, dtype)),
+        dev.pillars[0], interp_kind, dev.loss[0],
+        dev.space_lo[1], dev.space_hi[1],
+        dev.inject_cost[0], dev.withdraw_cost[0],
+        dev.cons_inject[0], dev.cons_withdraw[0],
+        dev.inv_cost_rate[0], dev.df_settle[0], dev.df_start[0],
+        extra_decisions,
+    )
+    j, w = fractional_index(econ.inventory_after, dev.space_lo[1], dev.space_hi[1], G)
+    fitted = jnp.take(cont_mean, j) * (1.0 - w) + jnp.take(cont_mean, j + 1) * w  # [1, D]
+    immediate = econ.immediate_npv(dev.fwd[0])  # [1, D]
+    total = immediate + fitted
+    best = jnp.argmax(total[0])
+    # Per-sim actual continuation at the chosen decision.
+    j_b, w_b = j[0, best], w[0, best]
+    actual = jnp.take(v_next, j_b, axis=1) * (1.0 - w_b) + jnp.take(
+        v_next, j_b + 1, axis=1
+    ) * w_b  # [S]
+    v0 = immediate[0, best] + actual
+    return v0, cont_mean
+
+
+def forward_step0(carry, spot0, cont0, dev, ctx, spec, extra_decisions, dfd0):
+    """Forward step for the deterministic current period."""
+    return _forward_step_core(
+        carry, spot0, cont0,
+        dev.space_lo[1], dev.space_hi[1],
+        dev.pillars[0], dev.loss[0],
+        dev.inject_cost[0], dev.withdraw_cost[0],
+        dev.cons_inject[0], dev.cons_withdraw[0],
+        dev.inv_cost_rate[0], dev.df_settle[0], dev.df_start[0],
+        dev.fwd[0], dfd0,
+        interp_kind=ctx.interp_kind, num_grid_points=ctx.num_grid_points,
+        extra_decisions=extra_decisions,
+    )

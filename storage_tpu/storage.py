@@ -117,6 +117,7 @@ class CmdtyStorage:
         terminal_storage_npv: Optional[Callable[[float, float], float]] = None,
         inventory_loss: ScalarOrSeries = None,
         inventory_cost: ScalarOrSeries = None,
+        cost_cash_flow_rule: Optional[Callable[[pd.Period], "object"]] = None,
     ):
         self._freq = freq
         norm_freq = normalize_freq(freq)
@@ -212,6 +213,12 @@ class CmdtyStorage:
         self._inventory_cost = self._scalar_or_series(
             inventory_cost, decision_periods, "Per unit inventory cost", last_active
         )
+
+        # Cash-flow date for inject/withdraw/inventory costs: period start day
+        # by default (reference ``WithPerUnitInjectionCost``,
+        # ``CmdtyStorage.cs:334-341``); a callable period -> date reproduces the
+        # reference's custom cash-flow-date overloads (:322-331).
+        self._cost_cash_flow_rule = cost_cash_flow_rule
 
         self._must_be_empty_at_end = terminal_storage_npv is None
         self._terminal_npv = terminal_storage_npv
@@ -420,6 +427,10 @@ class CmdtyStorage:
     @property
     def terminal_npv_fn(self) -> Optional[Callable[[float, float], float]]:
         return self._terminal_npv
+
+    @property
+    def cost_cash_flow_rule(self):
+        return self._cost_cash_flow_rule
 
     def inventory_pcnt_loss(self, period: PeriodLike) -> float:
         return float(self._inventory_loss[self._step_index(period)])

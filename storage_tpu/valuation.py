@@ -1,0 +1,374 @@
+"""Multi-factor LSMC valuation — the flagship pandas-facing API.
+
+Mirrors ``multi_factor_value`` / ``three_factor_seasonal_value`` and the
+result assembly of ``_net_multi_factor_calc``
+(reference ``cmdty_storage/multi_factor.py:302-496``): runs the intrinsic
+calculation first, then the LSMC engine on simulated paths, and returns NPV,
+per-period deltas, the expected storage profile, eight per-simulation panels,
+trigger prices and trigger volume/price profiles.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Callable, Iterable, List, NamedTuple, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from .compile import SettlementRule, build_valuation_context
+from .engines.intrinsic import PROFILE_COLUMNS, intrinsic_value
+from .engines.lsmc import LsmcArrays, run_lsmc
+from .exceptions import InventoryConstraintsCannotBeFulfilledError
+from .models.multi_factor import (
+    CurveType,
+    FactorCorrsType,
+    FactorType,
+    build_sim_coefficients,
+    create_3_factor_season_params,
+    validate_multi_factor_params,
+)
+from .models.simulation import simulate_spot_paths
+from .ops.regression import basis_spec
+from .storage import CmdtyStorage
+from .types import TriggerPricePoint, TriggerPriceProfile
+from .utils.basis import THREE_FACTOR_SEASONAL_ALIASES, parse_basis_functions
+from .utils.frequencies import PeriodLike, normalize_freq, to_period
+from .utils.profiling import Stopwatches
+
+logger: logging.Logger = logging.getLogger("storage_tpu.multi_factor")
+
+
+class MultiFactorValuationResults(NamedTuple):
+    """Reference ``MultiFactorValuationResults`` (``multi_factor.py:302-321``)."""
+
+    npv: float
+    deltas: pd.Series
+    expected_profile: pd.DataFrame
+    intrinsic_npv: float
+    intrinsic_profile: pd.DataFrame
+    sim_spot_regress: pd.DataFrame
+    sim_spot_valuation: pd.DataFrame
+    sim_inventory: pd.DataFrame
+    sim_inject_withdraw: pd.DataFrame
+    sim_cmdty_consumed: pd.DataFrame
+    sim_inventory_loss: pd.DataFrame
+    sim_net_volume: pd.DataFrame
+    sim_pv: pd.DataFrame
+    trigger_prices: pd.DataFrame
+    trigger_profiles: pd.Series
+
+    @property
+    def extrinsic_npv(self) -> float:
+        return self.npv - self.intrinsic_npv
+
+
+def _empty_results(freq: str, npv: float = 0.0, intrinsic_npv: float = 0.0):
+    empty_idx = pd.PeriodIndex([], freq=freq)
+    empty_df = pd.DataFrame(index=empty_idx)
+    empty_series = pd.Series(index=empty_idx, dtype=np.float64)
+    return MultiFactorValuationResults(
+        npv, empty_series, empty_df, intrinsic_npv, empty_df, empty_df, empty_df,
+        empty_df, empty_df, empty_df, empty_df, empty_df, empty_df, empty_df,
+        pd.Series(index=empty_idx, dtype=object),
+    )
+
+
+def three_factor_seasonal_value(
+    cmdty_storage: CmdtyStorage,
+    val_date: PeriodLike,
+    inventory: float,
+    fwd_curve: pd.Series,
+    interest_rates: Union[None, float, pd.Series],
+    settlement_rule: Optional[SettlementRule],
+    spot_mean_reversion: float,
+    spot_vol: float,
+    long_term_vol: float,
+    seasonal_vol: float,
+    num_sims: int,
+    basis_funcs: str,
+    discount_deltas: bool,
+    seed: Optional[int] = None,
+    fwd_sim_seed: Optional[int] = None,
+    extra_decisions: Optional[int] = None,
+    num_inventory_grid_points: int = 100,
+    numerical_tolerance: float = 1e-12,
+    on_progress_update: Optional[Callable[[float], None]] = None,
+    antithetic: bool = False,
+    cancelled: Optional[Callable[[], bool]] = None,
+    dtype=jnp.float32,
+) -> MultiFactorValuationResults:
+    """Three-factor seasonal LSMC valuation (reference ``multi_factor.py:324-354``).
+
+    Basis functions may reference the factors as ``x_st`` (short-term),
+    ``x_lt`` (long-term) and ``x_sw`` (seasonal wave); spot as ``s``.
+    """
+    factors, factor_corrs = create_3_factor_season_params(
+        cmdty_storage.freq, spot_mean_reversion, spot_vol, long_term_vol, seasonal_vol,
+        to_period(val_date, normalize_freq(cmdty_storage.freq)), cmdty_storage.end,
+    )
+    monomials = parse_basis_functions(basis_funcs, THREE_FACTOR_SEASONAL_ALIASES)
+    return _multi_factor_calc(
+        cmdty_storage, val_date, inventory, fwd_curve, interest_rates, settlement_rule,
+        factors, factor_corrs, num_sims, monomials, discount_deltas, seed, fwd_sim_seed,
+        extra_decisions, num_inventory_grid_points, numerical_tolerance,
+        on_progress_update, antithetic, cancelled, dtype,
+    )
+
+
+def multi_factor_value(
+    cmdty_storage: CmdtyStorage,
+    val_date: PeriodLike,
+    inventory: float,
+    fwd_curve: pd.Series,
+    interest_rates: Union[None, float, pd.Series],
+    settlement_rule: Optional[SettlementRule],
+    factors: Iterable[FactorType],
+    factor_corrs: FactorCorrsType,
+    num_sims: int,
+    basis_funcs: str,
+    discount_deltas: bool,
+    seed: Optional[int] = None,
+    fwd_sim_seed: Optional[int] = None,
+    extra_decisions: Optional[int] = None,
+    num_inventory_grid_points: int = 100,
+    numerical_tolerance: float = 1e-12,
+    on_progress_update: Optional[Callable[[float], None]] = None,
+    antithetic: bool = False,
+    cancelled: Optional[Callable[[], bool]] = None,
+    dtype=jnp.float32,
+) -> MultiFactorValuationResults:
+    """General multi-factor LSMC valuation (reference ``multi_factor.py:357-383``)."""
+    factors = list(factors)
+    factor_corrs = validate_multi_factor_params(factors, factor_corrs)
+    if normalize_freq(cmdty_storage.freq) != normalize_freq(fwd_curve.index.freqstr):
+        raise ValueError("cmdty_storage and forward_curve have different frequencies.")
+    monomials = parse_basis_functions(basis_funcs)
+    return _multi_factor_calc(
+        cmdty_storage, val_date, inventory, fwd_curve, interest_rates, settlement_rule,
+        factors, factor_corrs, num_sims, monomials, discount_deltas, seed, fwd_sim_seed,
+        extra_decisions, num_inventory_grid_points, numerical_tolerance,
+        on_progress_update, antithetic, cancelled, dtype,
+    )
+
+
+def _multi_factor_calc(
+    cmdty_storage: CmdtyStorage,
+    val_date: PeriodLike,
+    inventory: float,
+    fwd_curve: pd.Series,
+    interest_rates,
+    settlement_rule,
+    factors: Sequence[FactorType],
+    factor_corrs: np.ndarray,
+    num_sims: int,
+    monomials,
+    discount_deltas: bool,
+    seed: Optional[int],
+    fwd_sim_seed: Optional[int],
+    extra_decisions: Optional[int],
+    num_inventory_grid_points: int,
+    numerical_tolerance: float,
+    on_progress_update,
+    antithetic: bool,
+    cancelled,
+    dtype,
+) -> MultiFactorValuationResults:
+    freq = normalize_freq(cmdty_storage.freq)
+    val_period = to_period(val_date, freq)
+    stopwatches = Stopwatches()
+    stopwatches.start("All")
+
+    if inventory < 0:
+        raise ValueError("Inventory cannot be negative.")
+
+    # Edge cases (reference LsmcStorageValuation.cs:64-84).
+    if val_period > cmdty_storage.end:
+        if on_progress_update is not None:
+            on_progress_update(1.0)
+        return _empty_results(freq)
+    if val_period == cmdty_storage.end:
+        if cmdty_storage.must_be_empty_at_end:
+            if inventory > 0:
+                raise InventoryConstraintsCannotBeFulfilledError(
+                    "Storage must be empty at end, but inventory is greater than zero."
+                )
+            if on_progress_update is not None:
+                on_progress_update(1.0)
+            return _empty_results(freq)
+        spot = float(fwd_curve[val_period])
+        npv = cmdty_storage.terminal_storage_npv(spot, float(inventory))
+        if on_progress_update is not None:
+            on_progress_update(1.0)
+        return _empty_results(freq, npv=npv, intrinsic_npv=npv)
+
+    # Intrinsic calc first (reference multi_factor.py:404-410).
+    logger.info("Calculating intrinsic value.")
+    intrinsic = intrinsic_value(
+        cmdty_storage, val_date, inventory, fwd_curve, interest_rates, settlement_rule,
+        num_inventory_grid_points, numerical_tolerance, dtype=dtype,
+    )
+    logger.info("Calculation of intrinsic value complete.")
+
+    ctx = build_valuation_context(
+        cmdty_storage, val_date, inventory, fwd_curve, interest_rates, settlement_rule,
+        num_inventory_grid_points, numerical_tolerance,
+    )
+    n = ctx.n_steps
+    first_sim_step = 1 if ctx.val_date_is_first_step else 0
+    sim_periods = list(ctx.periods[first_sim_step:])
+
+    spec = basis_spec(monomials, num_factors=len(factors))
+
+    # Path simulation: regression set + independent valuation set.  The
+    # reference continues the same Mersenne Twister stream when fwd_sim_seed is
+    # not given (LsmcValuationParameters.cs:181-192); here the equivalent is a
+    # key split, and fwd_sim_seed == seed reproduces identical paths like the
+    # reference test fixtures use.
+    coeffs = build_sim_coefficients(
+        factors, factor_corrs, val_period, fwd_curve, sim_periods
+    )
+    if seed is None:
+        seed = int(np.random.SeedSequence().entropy % (2**62))
+    reg_key = jax.random.PRNGKey(int(seed))
+    if fwd_sim_seed is None:
+        val_key = jax.random.fold_in(reg_key, 1)
+    else:
+        val_key = jax.random.PRNGKey(int(fwd_sim_seed))
+
+    logger.info("Starting regression spot price simulation.")
+    with stopwatches.time("RegressionPriceSimulation"):
+        reg_spots_sim, reg_factors_sim = simulate_spot_paths(
+            coeffs, num_sims, None, antithetic, dtype, key=reg_key
+        )
+    logger.info("Spot regression price simulation complete.")
+    logger.info("Starting valuation spot price simulation.")
+    with stopwatches.time("ValuationPriceSimulation"):
+        val_spots_sim, val_factors_sim = simulate_spot_paths(
+            coeffs, num_sims, None, antithetic, dtype, key=val_key
+        )
+    logger.info("Valuation spot price simulation complete.")
+
+    num_factors = len(factors)
+    if first_sim_step == 1:
+        # Prepend the deterministic current-period row (price == forward,
+        # factor states == 0); the engine special-cases step 0 anyway.
+        fwd0 = jnp.full((1, num_sims), jnp.asarray(ctx.fwd[0], dtype))
+        zeros_f = jnp.zeros((1, num_factors, num_sims), dtype)
+        reg_spots = jnp.concatenate([fwd0, reg_spots_sim], axis=0)
+        reg_factors = jnp.concatenate([zeros_f, reg_factors_sim], axis=0)
+        val_spots = jnp.concatenate([fwd0, val_spots_sim], axis=0)
+        val_factors = jnp.concatenate([zeros_f, val_factors_sim], axis=0)
+    else:
+        reg_spots, reg_factors = reg_spots_sim, reg_factors_sim
+        val_spots, val_factors = val_spots_sim, val_factors_sim
+
+    logger.info("Calculating LSMC value.")
+    stopwatches.start("BackwardInduction")
+    arrays = run_lsmc(
+        ctx, reg_spots, reg_factors, val_spots, val_factors, spec,
+        discount_deltas=discount_deltas,
+        extra_decisions=int(extra_decisions or 0),
+        dtype=dtype,
+        on_progress_update=on_progress_update,
+        cancelled=cancelled,
+    )
+    jax.block_until_ready(arrays.npv)
+    stopwatches.stop("BackwardInduction")
+    logger.info("Calculation of LSMC value complete.")
+
+    results = _assemble_results(ctx, arrays, intrinsic, sim_periods,
+                                reg_spots_sim, val_spots_sim)
+    logger.info(
+        "Forward Pv: %s; Backward Pv: %s",
+        f"{results.npv:,.2f}",
+        f"{float(arrays.backward_npv):,.2f}",
+    )
+    stopwatches.stop("All")
+    logger.info("Profiling Report:\n%s", stopwatches.generate_profile_report())
+    return results
+
+
+def _assemble_results(
+    ctx, arrays: LsmcArrays, intrinsic, sim_periods, reg_spots_sim, val_spots_sim
+) -> MultiFactorValuationResults:
+    periods = ctx.periods
+    freq = ctx.freq
+    sim_index = pd.PeriodIndex(sim_periods, freq=freq)
+
+    def panel(rows) -> pd.DataFrame:
+        return pd.DataFrame(np.asarray(rows, dtype=np.float64), index=periods)
+
+    deltas = pd.Series(np.asarray(arrays.deltas, dtype=np.float64), index=periods)
+
+    profile = pd.DataFrame(
+        {
+            "inventory": np.asarray(arrays.inventory).mean(axis=1),
+            "inject_withdraw_volume": np.asarray(arrays.inject_withdraw).mean(axis=1),
+            "cmdty_consumed": np.asarray(arrays.cmdty_consumed).mean(axis=1),
+            "inventory_loss": np.asarray(arrays.inventory_loss).mean(axis=1),
+            "net_volume": np.asarray(arrays.net_volume).mean(axis=1),
+            "period_pv": np.asarray(arrays.period_pv).mean(axis=1),
+        },
+        index=periods,
+    )
+
+    # Trigger prices: scalar summary per decision period.  The reference keeps
+    # the price at the max inject volume on the inject side, and the price of
+    # the smallest withdrawal increment on the withdraw side
+    # (LsmcStorageValuation.cs:525-526, 545-554).
+    has_inj = np.asarray(arrays.trigger_has_inject)
+    has_wdr = np.asarray(arrays.trigger_has_withdraw)
+    inj_vols = np.asarray(arrays.trigger_inject_volumes, dtype=np.float64)
+    inj_prices = np.asarray(arrays.trigger_inject_prices, dtype=np.float64)
+    wdr_vols = np.asarray(arrays.trigger_withdraw_volumes, dtype=np.float64)
+    wdr_prices = np.asarray(arrays.trigger_withdraw_prices, dtype=np.float64)
+
+    decision_index = periods[:-1]
+    nan = np.nan
+    trigger_prices = pd.DataFrame(
+        {
+            "inject_volume": np.where(has_inj, inj_vols[:, -1], nan),
+            "inject_trigger_price": np.where(has_inj, inj_prices[:, -1], nan),
+            "withdraw_volume": np.where(has_wdr, wdr_vols[:, -1], nan),
+            "withdraw_trigger_price": np.where(has_wdr, wdr_prices[:, 0], nan),
+        },
+        index=decision_index,
+    )
+
+    profiles_list: List[TriggerPriceProfile] = []
+    for k in range(len(decision_index)):
+        inject_points = (
+            [TriggerPricePoint(v, p) for v, p in zip(inj_vols[k], inj_prices[k])]
+            if has_inj[k]
+            else []
+        )
+        withdraw_points = (
+            [TriggerPricePoint(v, p) for v, p in zip(wdr_vols[k], wdr_prices[k])]
+            if has_wdr[k]
+            else []
+        )
+        profiles_list.append(TriggerPriceProfile(inject_points, withdraw_points))
+    trigger_profiles = pd.Series(profiles_list, index=decision_index, dtype=object)
+
+    sim_spot_regress = pd.DataFrame(np.asarray(reg_spots_sim, dtype=np.float64), index=sim_index)
+    sim_spot_valuation = pd.DataFrame(np.asarray(val_spots_sim, dtype=np.float64), index=sim_index)
+
+    return MultiFactorValuationResults(
+        npv=float(arrays.npv),
+        deltas=deltas,
+        expected_profile=profile,
+        intrinsic_npv=intrinsic.npv,
+        intrinsic_profile=intrinsic.profile,
+        sim_spot_regress=sim_spot_regress,
+        sim_spot_valuation=sim_spot_valuation,
+        sim_inventory=panel(arrays.inventory),
+        sim_inject_withdraw=panel(arrays.inject_withdraw),
+        sim_cmdty_consumed=panel(arrays.cmdty_consumed),
+        sim_inventory_loss=panel(arrays.inventory_loss),
+        sim_net_volume=panel(arrays.net_volume),
+        sim_pv=panel(arrays.period_pv),
+        trigger_prices=trigger_prices,
+        trigger_profiles=trigger_profiles,
+    )
