@@ -1,0 +1,150 @@
+"""Headline benchmark: large-scale 3-factor seasonal LSMC on real TPU.
+
+Target (BASELINE.json north star): 1M-path x 365-step x 3-factor LSMC with
+full deltas in < 10 s on a v5e-8.  This harness runs on however many chips are
+attached (typically ONE v5e via the tunnel) and reports wall-clock for the
+full valuation (path simulation + backward induction + forward pass with
+deltas, panels and trigger prices).  ``vs_baseline`` scales the north-star
+budget by the attached chip fraction: on 1 of 8 chips the pro-rata budget is
+10 s x 8 = 80 s for the full 1M paths.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_case():
+    import pandas as pd
+
+    from storage_tpu import CmdtyStorage, RatchetInterp
+
+    storage = CmdtyStorage(
+        freq="D",
+        storage_start="2021-04-01",
+        storage_end="2022-04-01",
+        injection_cost=0.01,
+        withdrawal_cost=0.025,
+        ratchets=[
+            (
+                "2021-04-01",
+                [
+                    (0.0, -150.0, 250.0),
+                    (2000.0, -200.0, 175.0),
+                    (5000.0, -260.0, 155.0),
+                    (7000.0, -275.0, 132.0),
+                ],
+            ),
+            (
+                "2022-10-01",
+                [
+                    (0.0, -130.0, 260.0),
+                    (2000.0, -190.0, 190.0),
+                    (5000.0, -230.0, 165.0),
+                    (7000.0, -245.0, 148.0),
+                ],
+            ),
+        ],
+        ratchet_interp=RatchetInterp.LINEAR,
+    )
+    monthly_index = pd.period_range(start="2021-04-25", periods=25, freq="M")
+    monthly_fwd = [
+        16.61, 15.68, 15.42, 15.31, 15.27, 15.13, 15.96, 17.22, 17.32, 17.66,
+        17.59, 16.81, 15.36, 14.49, 14.28, 14.25, 14.32, 14.33, 15.30, 16.58,
+        16.64, 16.79, 16.64, 15.90, 14.63,
+    ]
+    fwd_curve = pd.Series(monthly_fwd, index=monthly_index).resample("D").ffill()
+    rates = pd.Series(
+        [0.005, 0.006, 0.0072, 0.0087, 0.0101, 0.0115, 0.0126],
+        index=pd.PeriodIndex(
+            freq="D",
+            data=[
+                "2021-04-25", "2021-06-01", "2021-08-01", "2021-12-01",
+                "2022-04-01", "2022-12-01", "2023-12-01",
+            ],
+        ),
+    )
+    ir_curve = rates.resample("D").asfreq().interpolate(method="linear")
+
+    def settlement_rule(d):
+        return d.asfreq("M").asfreq("D", "end") + 20
+
+    return storage, fwd_curve, ir_curve, settlement_rule
+
+
+def run(num_sims: int) -> dict:
+    from storage_tpu import three_factor_seasonal_value
+
+    storage, fwd_curve, ir_curve, settlement_rule = build_case()
+
+    def once(seed):
+        return three_factor_seasonal_value(
+            cmdty_storage=storage,
+            val_date="2021-04-25",
+            inventory=1500.0,
+            fwd_curve=fwd_curve,
+            interest_rates=ir_curve,
+            settlement_rule=settlement_rule,
+            num_sims=num_sims,
+            seed=seed,
+            spot_mean_reversion=91.0,
+            spot_vol=0.85,
+            long_term_vol=0.30,
+            seasonal_vol=0.19,
+            basis_funcs="1 + x_st + x_sw + x_lt + s + x_st**2 + x_sw**2 + x_lt**2 + s**2 + s * x_st",
+            discount_deltas=True,
+        )
+
+    # Warm-up compiles all kernels for these static shapes.
+    results = once(seed=12)
+    t0 = time.perf_counter()
+    results = once(seed=13)
+    wall = time.perf_counter() - t0
+    return {"wall": wall, "npv": results.npv, "intrinsic": results.intrinsic_npv}
+
+
+def main() -> None:
+    import jax
+
+    num_chips = jax.device_count()
+    north_star_budget_s = 10.0 * (8 / max(num_chips, 1))  # pro-rata per chip count
+
+    for num_sims in (1_000_000, 500_000, 250_000):
+        try:
+            out = run(num_sims)
+            break
+        except Exception as exc:  # noqa: BLE001 - OOM fallbacks
+            print(f"# {num_sims} paths failed: {type(exc).__name__}: {exc}", file=sys.stderr)
+    else:
+        print(json.dumps({"metric": "lsmc bench failed", "value": 0, "unit": "s", "vs_baseline": 0.0}))
+        return
+
+    paths_per_sec = num_sims / out["wall"]
+    print(
+        f"# chips={num_chips} sims={num_sims} wall={out['wall']:.3f}s "
+        f"paths/s={paths_per_sec:,.0f} npv={out['npv']:,.0f} intrinsic={out['intrinsic']:,.0f}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"3-factor seasonal LSMC, {num_sims:,} paths x 365 daily steps, full "
+                    f"deltas+triggers, {num_chips} TPU chip(s); north-star pro-rata budget "
+                    f"{north_star_budget_s:.0f}s"
+                ),
+                "value": round(out["wall"], 3),
+                "unit": "s",
+                "vs_baseline": round(north_star_budget_s / out["wall"], 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -80,9 +80,11 @@ class LsmcArrays(NamedTuple):
     trigger_withdraw_prices: jax.Array  # [n, 10]
 
 
-@dataclass(frozen=True)
-class LsmcDeviceInputs:
-    """Static-shape device arrays compiled from a :class:`ValuationContext`."""
+class LsmcDeviceInputs(NamedTuple):
+    """Static-shape device arrays compiled from a :class:`ValuationContext`.
+
+    A NamedTuple (pytree) so the whole bundle can flow through a single jit.
+    """
 
     grids: jax.Array  # [n+1, G]
     space_lo: jax.Array  # [n+1]
@@ -97,7 +99,7 @@ class LsmcDeviceInputs:
     df_settle: jax.Array
     df_start: jax.Array
     fwd: jax.Array  # [n+1]
-    inventory: float
+    inventory: jax.Array  # scalar
 
 
 def device_inputs(ctx: ValuationContext, dtype) -> LsmcDeviceInputs:
@@ -115,7 +117,7 @@ def device_inputs(ctx: ValuationContext, dtype) -> LsmcDeviceInputs:
         df_settle=jnp.asarray(ctx.df_settle, dtype),
         df_start=jnp.asarray(ctx.df_cost, dtype),
         fwd=jnp.asarray(ctx.fwd, dtype),
-        inventory=ctx.inventory,
+        inventory=jnp.asarray(ctx.inventory, dtype),
     )
 
 
@@ -425,6 +427,180 @@ def _chunk_bounds(n: int, num_chunks: int) -> List[Tuple[int, int]]:
     return [(int(a), int(b)) for a, b in zip(edges[:-1], edges[1:]) if b > a]
 
 
+def _pipeline(
+    reg_spots,
+    reg_factors,
+    val_spots,
+    val_factors,
+    dev: LsmcDeviceInputs,
+    spec: BasisSpec,
+    interp_kind: int,
+    num_grid_points: int,
+    extra_decisions: int,
+    val_first: bool,
+    terminal_fn,
+    discount_deltas: bool,
+) -> LsmcArrays:
+    """The whole LSMC computation as one traceable function.
+
+    Backward induction + current-period step + forward simulation + result
+    assembly, with no host round-trips — under jit this compiles to a single
+    XLA program per (shape, config), which matters enormously on remote TPU
+    backends where every eager op is a dispatch.
+    """
+    n = reg_spots.shape[0] - 1
+    G = num_grid_points
+    num_sims = reg_spots.shape[-1]
+    dtype = reg_spots.dtype
+    first_sim_step = 1 if val_first else 0
+
+    static = dict(
+        spec=spec, interp_kind=interp_kind,
+        num_grid_points=G, extra_decisions=extra_decisions,
+    )
+
+    # Terminal values on the end-period grid (reference :107-128), computed on
+    # the regression path set like the backward induction itself.
+    if terminal_fn is None:
+        v_end = jnp.zeros((num_sims, G), dtype=dtype)
+    else:
+        v_end = jnp.asarray(
+            terminal_fn(reg_spots[n][:, None], dev.grids[n][None, :]), dtype
+        )
+        v_end = jnp.broadcast_to(v_end, (num_sims, G))
+
+    # ---- Backward induction over simulated periods ---- #
+    lo_k, hi_k = first_sim_step, n
+    v, coeffs, mus, sds = backward_scan(
+        v_end,
+        reg_spots[lo_k:hi_k],
+        reg_factors[lo_k:hi_k],
+        dev.grids[lo_k:hi_k],
+        dev.space_lo[lo_k + 1 : hi_k + 1],
+        dev.space_hi[lo_k + 1 : hi_k + 1],
+        dev.pillars[lo_k:hi_k],
+        dev.loss[lo_k:hi_k],
+        dev.inject_cost[lo_k:hi_k],
+        dev.withdraw_cost[lo_k:hi_k],
+        dev.cons_inject[lo_k:hi_k],
+        dev.cons_withdraw[lo_k:hi_k],
+        dev.inv_cost_rate[lo_k:hi_k],
+        dev.df_settle[lo_k:hi_k],
+        dev.df_start[lo_k:hi_k],
+        **static,
+    )
+
+    # ---- Step 0 when the valuation date is the first active period ---- #
+    # The current period's price is deterministic, so the continuation is the
+    # plain sim-average of next-period values (reference :171-181) and the
+    # optimal decision is common to all sims.
+    if val_first:
+        v0, cont_mean0 = _current_period_step(
+            v, dev, interp_kind, G, extra_decisions, dtype
+        )
+        backward_npv = jnp.mean(v0)
+    else:
+        cont_mean0 = None
+        backward_npv = jnp.mean(v[:, 0])
+
+    # ---- Forward simulation ---- #
+    dfd = dev.df_settle if discount_deltas else jnp.ones_like(dev.df_settle)
+    inv0 = jnp.full((num_sims,), dev.inventory, dtype)
+    pv0 = jnp.zeros((num_sims,), dtype)
+    carry = (inv0, pv0)
+    out_parts = []
+
+    if val_first:
+        cont0 = jnp.broadcast_to(cont_mean0[None, :], (num_sims, G))
+        spot0 = jnp.full((num_sims,), dev.fwd[0])
+        carry, outputs0 = _forward_step_core(
+            carry, spot0, cont0,
+            dev.space_lo[1], dev.space_hi[1],
+            dev.pillars[0], dev.loss[0],
+            dev.inject_cost[0], dev.withdraw_cost[0],
+            dev.cons_inject[0], dev.cons_withdraw[0],
+            dev.inv_cost_rate[0], dev.df_settle[0], dev.df_start[0],
+            dev.fwd[0], dfd[0],
+            interp_kind=interp_kind, num_grid_points=G,
+            extra_decisions=extra_decisions,
+        )
+        out_parts.append(jax.tree.map(lambda x: x[None], outputs0))
+
+    carry, outputs = forward_scan(
+        carry,
+        val_spots[lo_k:hi_k],
+        val_factors[lo_k:hi_k],
+        coeffs,
+        mus,
+        sds,
+        dev.space_lo[lo_k + 1 : hi_k + 1],
+        dev.space_hi[lo_k + 1 : hi_k + 1],
+        dev.pillars[lo_k:hi_k],
+        dev.loss[lo_k:hi_k],
+        dev.inject_cost[lo_k:hi_k],
+        dev.withdraw_cost[lo_k:hi_k],
+        dev.cons_inject[lo_k:hi_k],
+        dev.cons_withdraw[lo_k:hi_k],
+        dev.inv_cost_rate[lo_k:hi_k],
+        dev.df_settle[lo_k:hi_k],
+        dev.df_start[lo_k:hi_k],
+        dev.fwd[lo_k:hi_k],
+        dfd[lo_k:hi_k],
+        **static,
+    )
+    out_parts.append(outputs)
+
+    stacked = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *out_parts)
+    return _assemble_arrays(stacked, carry, val_spots, terminal_fn, backward_npv, dtype)
+
+
+def _assemble_arrays(stacked, carry, val_spots, terminal_fn, backward_npv, dtype) -> LsmcArrays:
+    (
+        inv_rows, volume_rows, consumed_rows, loss_rows, net_rows, pv_rows, deltas_rows,
+        has_inj, inj_vols, inj_prices, has_wdr, wdr_vols, wdr_prices,
+    ) = stacked
+    num_sims = inv_rows.shape[-1]
+    inv_final, pv_by_sim = carry
+
+    # ---- End-period terminal PV (reference :563-579; valuation sims here,
+    # see module docstring) ---- #
+    if terminal_fn is not None:
+        terminal_pv = jnp.asarray(terminal_fn(val_spots[-1], inv_final), dtype)
+        terminal_pv = jnp.broadcast_to(terminal_pv, (num_sims,))
+    else:
+        terminal_pv = jnp.zeros((num_sims,), dtype)
+    pv_by_sim = pv_by_sim + terminal_pv
+
+    zeros_row = jnp.zeros((1, num_sims), dtype)
+    return LsmcArrays(
+        npv=jnp.mean(pv_by_sim),
+        backward_npv=backward_npv,
+        deltas=jnp.concatenate([deltas_rows, jnp.zeros((1,), dtype)], axis=0),
+        inventory=jnp.concatenate([inv_rows, inv_final[None]], axis=0),
+        inject_withdraw=jnp.concatenate([volume_rows, zeros_row], axis=0),
+        cmdty_consumed=jnp.concatenate([consumed_rows, zeros_row], axis=0),
+        inventory_loss=jnp.concatenate([loss_rows, zeros_row], axis=0),
+        net_volume=jnp.concatenate([net_rows, zeros_row], axis=0),
+        period_pv=jnp.concatenate([pv_rows, terminal_pv[None]], axis=0),
+        pv_by_sim=pv_by_sim,
+        trigger_has_inject=has_inj,
+        trigger_has_withdraw=has_wdr,
+        trigger_inject_volumes=inj_vols,
+        trigger_inject_prices=inj_prices,
+        trigger_withdraw_volumes=wdr_vols,
+        trigger_withdraw_prices=wdr_prices,
+    )
+
+
+_pipeline_jit = jax.jit(
+    _pipeline,
+    static_argnames=(
+        "spec", "interp_kind", "num_grid_points", "extra_decisions",
+        "val_first", "terminal_fn", "discount_deltas",
+    ),
+)
+
+
 def run_lsmc(
     ctx: ValuationContext,
     reg_spots: jax.Array,  # [n+1, S] (row 0 ignored when val is first step)
@@ -438,18 +614,57 @@ def run_lsmc(
     on_progress_update: Optional[Callable[[float], None]] = None,
     cancelled: Optional[Callable[[], bool]] = None,
     num_progress_chunks: int = 20,
+    mesh=None,
 ) -> LsmcArrays:
     """Run backward induction + forward simulation.
 
-    The scans are split into chunks only when a progress callback or
-    cancellation check is supplied, mirroring the reference's per-period
-    progress/cancellation hooks (:337-339, :488-490) without giving up
-    whole-horizon fusion in the common case.
+    Without progress/cancellation hooks the whole valuation compiles to ONE
+    XLA program (:func:`_pipeline`).  With hooks, the scans are split into
+    chunks with host callbacks between them, mirroring the reference's
+    per-period progress/cancellation (:337-339, :488-490).
     """
+    G = ctx.num_grid_points
+
+    if mesh is not None:
+        # GSPMD scale-out: shard the sims axis over the mesh; XLA inserts the
+        # cross-shard all-reduces for the regression Gram/cross products and
+        # every mean over sims.
+        from ..parallel.mesh import shard_sims
+
+        reg_spots = shard_sims(mesh, reg_spots, 1)
+        reg_factors = shard_sims(mesh, reg_factors, 2)
+        val_spots = shard_sims(mesh, val_spots, 1)
+        val_factors = shard_sims(mesh, val_factors, 2)
+
+    dev = device_inputs(ctx, dtype)
+    chunked = on_progress_update is not None or cancelled is not None
+    if not chunked:
+        return _pipeline_jit(
+            reg_spots, reg_factors, val_spots, val_factors, dev,
+            spec=spec, interp_kind=ctx.interp_kind, num_grid_points=G,
+            extra_decisions=extra_decisions,
+            val_first=ctx.val_date_is_first_step,
+            terminal_fn=ctx.storage.terminal_npv_fn,
+            discount_deltas=discount_deltas,
+        )
+    return _run_lsmc_chunked(
+        ctx, reg_spots, reg_factors, val_spots, val_factors, dev, spec,
+        discount_deltas, extra_decisions, dtype, on_progress_update, cancelled,
+        num_progress_chunks,
+    )
+
+
+def _run_lsmc_chunked(
+    ctx, reg_spots, reg_factors, val_spots, val_factors, dev, spec,
+    discount_deltas, extra_decisions, dtype, on_progress_update, cancelled,
+    num_progress_chunks,
+) -> LsmcArrays:
+    """Chunked variant with host progress/cancellation between scan chunks."""
     n = ctx.n_steps
     G = ctx.num_grid_points
-    dev = device_inputs(ctx, dtype)
     num_sims = reg_spots.shape[-1]
+    interp_kind = ctx.interp_kind
+    terminal_fn = ctx.storage.terminal_npv_fn
 
     def check_cancel():
         if cancelled is not None and cancelled():
@@ -463,31 +678,21 @@ def run_lsmc(
         if on_progress_update is not None:
             on_progress_update(progress)
 
-    # Terminal values on the end-period grid (reference :107-128), computed on
-    # the regression path set like the backward induction itself.
-    grid_end = ctx.grids[n]
-    if ctx.storage.terminal_npv_fn is None:
+    if terminal_fn is None:
         v_end = jnp.zeros((num_sims, G), dtype=dtype)
     else:
-        end_spots = reg_spots[n][:, None]
         v_end = jnp.asarray(
-            ctx.storage.terminal_npv_fn(end_spots, jnp.asarray(grid_end, dtype)[None, :]),
-            dtype,
+            terminal_fn(reg_spots[n][:, None], dev.grids[n][None, :]), dtype
         )
         v_end = jnp.broadcast_to(v_end, (num_sims, G))
 
     static = dict(
-        spec=spec, interp_kind=ctx.interp_kind,
+        spec=spec, interp_kind=interp_kind,
         num_grid_points=G, extra_decisions=extra_decisions,
     )
-
     first_sim_step = 1 if ctx.val_date_is_first_step else 0
 
-    # ---- Backward induction over simulated periods ---- #
-    chunked = on_progress_update is not None or cancelled is not None
-    spans = (
-        _chunk_bounds(n - first_sim_step, num_progress_chunks if chunked else 1)
-    )
+    spans = _chunk_bounds(n - first_sim_step, num_progress_chunks)
     v = v_end
     coeffs_parts: List[jax.Array] = []
     mu_parts: List[jax.Array] = []
@@ -519,44 +724,42 @@ def run_lsmc(
         sd_parts.insert(0, sd_c)
         check_cancel()
         report(BACKWARD_PCNT_TIME * (i + 1) / total_back)
-    coeffs = jnp.concatenate(coeffs_parts, axis=0) if coeffs_parts else jnp.zeros(
-        (0, spec.num_basis, G), dtype
-    )
-    mus = jnp.concatenate(mu_parts, axis=0) if mu_parts else jnp.zeros((0, spec.num_basis), dtype)
-    sds = jnp.concatenate(sd_parts, axis=0) if sd_parts else jnp.ones((0, spec.num_basis), dtype)
+    coeffs = jnp.concatenate(coeffs_parts, axis=0)
+    mus = jnp.concatenate(mu_parts, axis=0)
+    sds = jnp.concatenate(sd_parts, axis=0)
 
-    # ---- Step 0 when the valuation date is the first active period ---- #
-    # The current period's price is deterministic, so the continuation is the
-    # plain sim-average of next-period values (reference :171-181) and the
-    # optimal decision is common to all sims.
     if ctx.val_date_is_first_step:
         v0, cont_mean0 = _current_period_step(
-            v, dev, ctx, spec, extra_decisions, dtype
+            v, dev, interp_kind, G, extra_decisions, dtype
         )
         backward_npv = jnp.mean(v0)
     else:
         cont_mean0 = None
         backward_npv = jnp.mean(v[:, 0])
 
-    # ---- Forward simulation ---- #
-    dfd = jnp.where(
-        jnp.asarray(discount_deltas), dev.df_settle, jnp.ones_like(dev.df_settle)
-    )
-    inv0 = jnp.full((num_sims,), jnp.asarray(dev.inventory, dtype))
+    dfd = dev.df_settle if discount_deltas else jnp.ones_like(dev.df_settle)
+    inv0 = jnp.full((num_sims,), dev.inventory, dtype)
     pv0 = jnp.zeros((num_sims,), dtype)
     carry = (inv0, pv0)
     out_parts = []
 
     if ctx.val_date_is_first_step:
-        # Step 0 with deterministic price and mean continuation.
         cont0 = jnp.broadcast_to(cont_mean0[None, :], (num_sims, G))
         spot0 = jnp.full((num_sims,), dev.fwd[0])
-        carry, outputs0 = forward_step0(
-            carry, spot0, cont0, dev, ctx, spec, extra_decisions, dfd[0]
+        carry, outputs0 = _forward_step_core(
+            carry, spot0, cont0,
+            dev.space_lo[1], dev.space_hi[1],
+            dev.pillars[0], dev.loss[0],
+            dev.inject_cost[0], dev.withdraw_cost[0],
+            dev.cons_inject[0], dev.cons_withdraw[0],
+            dev.inv_cost_rate[0], dev.df_settle[0], dev.df_start[0],
+            dev.fwd[0], dfd[0],
+            interp_kind=interp_kind, num_grid_points=G,
+            extra_decisions=extra_decisions,
         )
         out_parts.append(jax.tree.map(lambda x: x[None], outputs0))
 
-    fwd_spans = _chunk_bounds(n - first_sim_step, num_progress_chunks if chunked else 1)
+    fwd_spans = _chunk_bounds(n - first_sim_step, num_progress_chunks)
     total_fwd = max(1, len(fwd_spans))
     for i, (a, b) in enumerate(fwd_spans):
         lo_k = first_sim_step + a
@@ -588,63 +791,18 @@ def run_lsmc(
         report(BACKWARD_PCNT_TIME + (1.0 - BACKWARD_PCNT_TIME) * (i + 1) / total_fwd)
 
     stacked = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *out_parts)
-    (
-        inv_rows, volume_rows, consumed_rows, loss_rows, net_rows, pv_rows, deltas_rows,
-        has_inj, inj_vols, inj_prices, has_wdr, wdr_vols, wdr_prices,
-    ) = stacked
-
-    inv_final, pv_by_sim = carry
-
-    # ---- End-period terminal PV (reference :563-579) ---- #
-    if not ctx.storage.must_be_empty_at_end and ctx.storage.terminal_npv_fn is not None:
-        terminal_pv = jnp.asarray(
-            ctx.storage.terminal_npv_fn(val_spots[n], inv_final), dtype
-        )
-        terminal_pv = jnp.broadcast_to(terminal_pv, (num_sims,))
-    else:
-        terminal_pv = jnp.zeros((num_sims,), dtype)
-    pv_by_sim = pv_by_sim + terminal_pv
-
-    zeros_row = jnp.zeros((1, num_sims), dtype)
-    inventory = jnp.concatenate([inv_rows, inv_final[None]], axis=0)
-    inject_withdraw = jnp.concatenate([volume_rows, zeros_row], axis=0)
-    cmdty_consumed = jnp.concatenate([consumed_rows, zeros_row], axis=0)
-    inventory_loss = jnp.concatenate([loss_rows, zeros_row], axis=0)
-    net_volume = jnp.concatenate([net_rows, zeros_row], axis=0)
-    period_pv = jnp.concatenate([pv_rows, terminal_pv[None]], axis=0)
-    deltas = jnp.concatenate([deltas_rows, jnp.zeros((1,), dtype)], axis=0)
-
-    npv = jnp.mean(pv_by_sim)
+    arrays = _assemble_arrays(stacked, carry, val_spots, terminal_fn, backward_npv, dtype)
     report(1.0)
-
-    return LsmcArrays(
-        npv=npv,
-        backward_npv=backward_npv,
-        deltas=deltas,
-        inventory=inventory,
-        inject_withdraw=inject_withdraw,
-        cmdty_consumed=cmdty_consumed,
-        inventory_loss=inventory_loss,
-        net_volume=net_volume,
-        period_pv=period_pv,
-        pv_by_sim=pv_by_sim,
-        trigger_has_inject=has_inj,
-        trigger_has_withdraw=has_wdr,
-        trigger_inject_volumes=inj_vols,
-        trigger_inject_prices=inj_prices,
-        trigger_withdraw_volumes=wdr_vols,
-        trigger_withdraw_prices=wdr_prices,
-    )
+    return arrays
 
 
-def _current_period_step(v_next, dev, ctx, spec, extra_decisions, dtype):
+def _current_period_step(v_next, dev, interp_kind, num_grid_points, extra_decisions, dtype):
     """Backward value at the deterministic current period (reference :171-181,
     :226-330 with simulatedPrices = forward price)."""
-    interp_kind = ctx.interp_kind
-    G = ctx.num_grid_points
+    G = num_grid_points
     cont_mean = jnp.mean(v_next, axis=0)  # [G]
     econ = step_economics(
-        jnp.full((1,), jnp.asarray(dev.inventory, dtype)),
+        jnp.reshape(dev.inventory, (1,)),
         dev.pillars[0], interp_kind, dev.loss[0],
         dev.space_lo[1], dev.space_hi[1],
         dev.inject_cost[0], dev.withdraw_cost[0],
@@ -664,18 +822,3 @@ def _current_period_step(v_next, dev, ctx, spec, extra_decisions, dtype):
     ) * w_b  # [S]
     v0 = immediate[0, best] + actual
     return v0, cont_mean
-
-
-def forward_step0(carry, spot0, cont0, dev, ctx, spec, extra_decisions, dfd0):
-    """Forward step for the deterministic current period."""
-    return _forward_step_core(
-        carry, spot0, cont0,
-        dev.space_lo[1], dev.space_hi[1],
-        dev.pillars[0], dev.loss[0],
-        dev.inject_cost[0], dev.withdraw_cost[0],
-        dev.cons_inject[0], dev.cons_withdraw[0],
-        dev.inv_cost_rate[0], dev.df_settle[0], dev.df_start[0],
-        dev.fwd[0], dfd0,
-        interp_kind=ctx.interp_kind, num_grid_points=ctx.num_grid_points,
-        extra_decisions=extra_decisions,
-    )

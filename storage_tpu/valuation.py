@@ -98,11 +98,13 @@ def three_factor_seasonal_value(
     antithetic: bool = False,
     cancelled: Optional[Callable[[], bool]] = None,
     dtype=jnp.float32,
+    mesh=None,
 ) -> MultiFactorValuationResults:
     """Three-factor seasonal LSMC valuation (reference ``multi_factor.py:324-354``).
 
     Basis functions may reference the factors as ``x_st`` (short-term),
     ``x_lt`` (long-term) and ``x_sw`` (seasonal wave); spot as ``s``.
+    Pass ``mesh`` (a 1-D ``jax.sharding.Mesh``) to shard paths over devices.
     """
     factors, factor_corrs = create_3_factor_season_params(
         cmdty_storage.freq, spot_mean_reversion, spot_vol, long_term_vol, seasonal_vol,
@@ -113,7 +115,7 @@ def three_factor_seasonal_value(
         cmdty_storage, val_date, inventory, fwd_curve, interest_rates, settlement_rule,
         factors, factor_corrs, num_sims, monomials, discount_deltas, seed, fwd_sim_seed,
         extra_decisions, num_inventory_grid_points, numerical_tolerance,
-        on_progress_update, antithetic, cancelled, dtype,
+        on_progress_update, antithetic, cancelled, dtype, mesh,
     )
 
 
@@ -138,6 +140,7 @@ def multi_factor_value(
     antithetic: bool = False,
     cancelled: Optional[Callable[[], bool]] = None,
     dtype=jnp.float32,
+    mesh=None,
 ) -> MultiFactorValuationResults:
     """General multi-factor LSMC valuation (reference ``multi_factor.py:357-383``)."""
     factors = list(factors)
@@ -149,7 +152,7 @@ def multi_factor_value(
         cmdty_storage, val_date, inventory, fwd_curve, interest_rates, settlement_rule,
         factors, factor_corrs, num_sims, monomials, discount_deltas, seed, fwd_sim_seed,
         extra_decisions, num_inventory_grid_points, numerical_tolerance,
-        on_progress_update, antithetic, cancelled, dtype,
+        on_progress_update, antithetic, cancelled, dtype, mesh,
     )
 
 
@@ -174,6 +177,7 @@ def _multi_factor_calc(
     antithetic: bool,
     cancelled,
     dtype,
+    mesh=None,
 ) -> MultiFactorValuationResults:
     freq = normalize_freq(cmdty_storage.freq)
     val_period = to_period(val_date, freq)
@@ -273,6 +277,7 @@ def _multi_factor_calc(
         dtype=dtype,
         on_progress_update=on_progress_update,
         cancelled=cancelled,
+        mesh=mesh,
     )
     jax.block_until_ready(arrays.npv)
     stopwatches.stop("BackwardInduction")
