@@ -155,7 +155,10 @@ def _backward_step_core(
     X = design_matrix(spec, spot, factors)
     Xs, mu, sd = standardize_columns(X)
     coeffs = fit_continuation(Xs, v_next)  # [B, G]
-    fitted = jnp.dot(Xs, coeffs, preferred_element_type=Xs.dtype)  # [S, G]
+    fitted = jnp.dot(
+        Xs, coeffs, preferred_element_type=Xs.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [S, G]
 
     econ = step_economics(
         grid, pillars, interp_kind, loss, next_lo, next_hi,
@@ -399,7 +402,10 @@ def forward_scan(
     def step(carry, xs):
         (spot, f, cf, mu, sd, lo, hi, pil, lr, ic, wc, ci, cw, icr, dfs, df0, fp, dd) = xs
         X = design_matrix(spec, spot, f)
-        cont = jnp.dot((X - mu) / sd, cf, preferred_element_type=X.dtype)  # [S, G]
+        cont = jnp.dot(
+            (X - mu) / sd, cf, preferred_element_type=X.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [S, G]
         return _forward_step_core(
             carry, spot, cont, lo, hi, pil, lr, ic, wc, ci, cw, icr, dfs, df0, fp, dd,
             interp_kind=interp_kind, num_grid_points=num_grid_points,

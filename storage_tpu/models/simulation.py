@@ -140,14 +140,18 @@ def _simulate_kernel(
         # Exact OU update: decay + correlated increment.  F is tiny, so the
         # matmul is a cheap [F,F]x[F,S] contraction fused by XLA.
         y_k = decay_k[:, None] * y_prev + jnp.dot(
-            chol_k, z_k, preferred_element_type=dtype
+            chol_k, z_k, preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return y_k, y_k
 
     y0 = jnp.zeros((num_factors, num_sims), dtype=dtype)
     _, factors = jax.lax.scan(step, y0, (decay, chol, normals))  # [n, F, S]
 
-    log_spots = jnp.einsum("nf,nfs->ns", vols, factors) + log_fwd_drift[:, None]
+    log_spots = (
+        jnp.einsum("nf,nfs->ns", vols, factors, precision=jax.lax.Precision.HIGHEST)
+        + log_fwd_drift[:, None]
+    )
     return jnp.exp(log_spots), factors
 
 

@@ -116,8 +116,19 @@ def fit_continuation(design_std, values, ridge: float = 1e-7):
       ``LsmcStorageValuation.cs:186-199`` reformulated for the MXU.
     """
     num_sims = design_std.shape[0]
-    gram = jnp.dot(design_std.T, design_std, preferred_element_type=jnp.float32)
-    rhs = jnp.dot(design_std.T, values, preferred_element_type=jnp.float32)
+    # HIGHEST precision: the TPU MXU defaults to bfloat16 multiplies, whose
+    # ~8-bit mantissa visibly degrades the regression fit and hence the
+    # exercise policy (the NPV stays a valid lower bound, just a worse one).
+    gram = jnp.dot(
+        design_std.T, design_std,
+        preferred_element_type=design_std.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    rhs = jnp.dot(
+        design_std.T, values,
+        preferred_element_type=design_std.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     reg = ridge * num_sims
     gram = gram + reg * jnp.eye(gram.shape[0], dtype=gram.dtype)
     cho = jax.scipy.linalg.cho_factor(gram)
