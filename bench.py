@@ -98,6 +98,9 @@ def run(num_sims: int) -> dict:
             seasonal_vol=0.19,
             basis_funcs="1 + x_st + x_sw + x_lt + s + x_st**2 + x_sw**2 + x_lt**2 + s**2 + s * x_st",
             discount_deltas=True,
+            # Per-sim panels stay on device: at 1M paths they are ~8 GB and
+            # must not transit the host link inside the timed region.
+            return_sim_panels=False,
         )
 
     # Warm-up compiles all kernels for these static shapes.

@@ -99,6 +99,7 @@ def three_factor_seasonal_value(
     cancelled: Optional[Callable[[], bool]] = None,
     dtype=jnp.float32,
     mesh=None,
+    return_sim_panels: bool = True,
 ) -> MultiFactorValuationResults:
     """Three-factor seasonal LSMC valuation (reference ``multi_factor.py:324-354``).
 
@@ -115,7 +116,7 @@ def three_factor_seasonal_value(
         cmdty_storage, val_date, inventory, fwd_curve, interest_rates, settlement_rule,
         factors, factor_corrs, num_sims, monomials, discount_deltas, seed, fwd_sim_seed,
         extra_decisions, num_inventory_grid_points, numerical_tolerance,
-        on_progress_update, antithetic, cancelled, dtype, mesh,
+        on_progress_update, antithetic, cancelled, dtype, mesh, return_sim_panels,
     )
 
 
@@ -141,6 +142,7 @@ def multi_factor_value(
     cancelled: Optional[Callable[[], bool]] = None,
     dtype=jnp.float32,
     mesh=None,
+    return_sim_panels: bool = True,
 ) -> MultiFactorValuationResults:
     """General multi-factor LSMC valuation (reference ``multi_factor.py:357-383``)."""
     factors = list(factors)
@@ -152,7 +154,7 @@ def multi_factor_value(
         cmdty_storage, val_date, inventory, fwd_curve, interest_rates, settlement_rule,
         factors, factor_corrs, num_sims, monomials, discount_deltas, seed, fwd_sim_seed,
         extra_decisions, num_inventory_grid_points, numerical_tolerance,
-        on_progress_update, antithetic, cancelled, dtype, mesh,
+        on_progress_update, antithetic, cancelled, dtype, mesh, return_sim_panels,
     )
 
 
@@ -178,6 +180,7 @@ def _multi_factor_calc(
     cancelled,
     dtype,
     mesh=None,
+    return_sim_panels: bool = True,
 ) -> MultiFactorValuationResults:
     freq = normalize_freq(cmdty_storage.freq)
     val_period = to_period(val_date, freq)
@@ -284,7 +287,7 @@ def _multi_factor_calc(
     logger.info("Calculation of LSMC value complete.")
 
     results = _assemble_results(ctx, arrays, intrinsic, sim_periods,
-                                reg_spots_sim, val_spots_sim)
+                                reg_spots_sim, val_spots_sim, return_sim_panels)
     logger.info(
         "Forward Pv: %s; Backward Pv: %s",
         f"{results.npv:,.2f}",
@@ -296,25 +299,44 @@ def _multi_factor_calc(
 
 
 def _assemble_results(
-    ctx, arrays: LsmcArrays, intrinsic, sim_periods, reg_spots_sim, val_spots_sim
+    ctx, arrays: LsmcArrays, intrinsic, sim_periods, reg_spots_sim, val_spots_sim,
+    return_sim_panels: bool = True,
 ) -> MultiFactorValuationResults:
     periods = ctx.periods
     freq = ctx.freq
     sim_index = pd.PeriodIndex(sim_periods, freq=freq)
+    empty_panel = pd.DataFrame(index=periods)
 
     def panel(rows) -> pd.DataFrame:
+        if not return_sim_panels:
+            return empty_panel
         return pd.DataFrame(np.asarray(rows, dtype=np.float64), index=periods)
 
     deltas = pd.Series(np.asarray(arrays.deltas, dtype=np.float64), index=periods)
 
+    # Expected storage profile: reduce over sims ON DEVICE, pull only [n+1]
+    # vectors — per-sim panels can be GBs at production path counts and must
+    # not transit the host link unless explicitly requested.
+    profile_means = jax.device_get(
+        jnp.stack(
+            [
+                jnp.mean(arrays.inventory, axis=1),
+                jnp.mean(arrays.inject_withdraw, axis=1),
+                jnp.mean(arrays.cmdty_consumed, axis=1),
+                jnp.mean(arrays.inventory_loss, axis=1),
+                jnp.mean(arrays.net_volume, axis=1),
+                jnp.mean(arrays.period_pv, axis=1),
+            ]
+        )
+    ).astype(np.float64)
     profile = pd.DataFrame(
         {
-            "inventory": np.asarray(arrays.inventory).mean(axis=1),
-            "inject_withdraw_volume": np.asarray(arrays.inject_withdraw).mean(axis=1),
-            "cmdty_consumed": np.asarray(arrays.cmdty_consumed).mean(axis=1),
-            "inventory_loss": np.asarray(arrays.inventory_loss).mean(axis=1),
-            "net_volume": np.asarray(arrays.net_volume).mean(axis=1),
-            "period_pv": np.asarray(arrays.period_pv).mean(axis=1),
+            "inventory": profile_means[0],
+            "inject_withdraw_volume": profile_means[1],
+            "cmdty_consumed": profile_means[2],
+            "inventory_loss": profile_means[3],
+            "net_volume": profile_means[4],
+            "period_pv": profile_means[5],
         },
         index=periods,
     )
@@ -357,8 +379,12 @@ def _assemble_results(
         profiles_list.append(TriggerPriceProfile(inject_points, withdraw_points))
     trigger_profiles = pd.Series(profiles_list, index=decision_index, dtype=object)
 
-    sim_spot_regress = pd.DataFrame(np.asarray(reg_spots_sim, dtype=np.float64), index=sim_index)
-    sim_spot_valuation = pd.DataFrame(np.asarray(val_spots_sim, dtype=np.float64), index=sim_index)
+    if return_sim_panels:
+        sim_spot_regress = pd.DataFrame(np.asarray(reg_spots_sim, dtype=np.float64), index=sim_index)
+        sim_spot_valuation = pd.DataFrame(np.asarray(val_spots_sim, dtype=np.float64), index=sim_index)
+    else:
+        sim_spot_regress = pd.DataFrame(index=sim_index)
+        sim_spot_valuation = pd.DataFrame(index=sim_index)
 
     return MultiFactorValuationResults(
         npv=float(arrays.npv),
