@@ -59,18 +59,24 @@ class ValuationCancelledError(StorageError):
     ``CancellationToken.ThrowIfCancellationRequested``, :339, :490)."""
 
 
+PANEL_FIELDS = (
+    "inventory",  # pre-decision inventory per period
+    "inject_withdraw",
+    "cmdty_consumed",
+    "inventory_loss",
+    "net_volume",
+    "period_pv",
+)
+
+
 class LsmcArrays(NamedTuple):
     """Raw device outputs of one LSMC run (engine-level, pre-pandas)."""
 
     npv: jax.Array  # scalar — forward (lower-bound) estimate
     backward_npv: jax.Array  # scalar — backward estimate, diagnostic
     deltas: jax.Array  # [n+1] (last entry 0)
-    inventory: jax.Array  # [n+1, S] pre-decision inventory per period
-    inject_withdraw: jax.Array  # [n+1, S]
-    cmdty_consumed: jax.Array  # [n+1, S]
-    inventory_loss: jax.Array  # [n+1, S]
-    net_volume: jax.Array  # [n+1, S]
-    period_pv: jax.Array  # [n+1, S]
+    profile_means: jax.Array  # [n+1, 6] per-period sim-means of PANEL_FIELDS
+    panels: jax.Array  # [n+1, 6, S] per-sim panels ([n+1, 6, 0] when not collected)
     pv_by_sim: jax.Array  # [S]
     trigger_has_inject: jax.Array  # [n] bool
     trigger_has_withdraw: jax.Array  # [n] bool
@@ -332,6 +338,7 @@ def _forward_step_core(
     interp_kind: int,
     num_grid_points: int,
     extra_decisions: int,
+    collect_panels: bool = True,
 ):
     """One forward-simulation period (reference :374-490)."""
     inv, pv = carry
@@ -366,13 +373,23 @@ def _forward_step_core(
         next_lo, next_hi, inject_cost, withdraw_cost, cons_inject, cons_withdraw,
         inv_cost_rate, df_settle, df_start, num_grid_points, extra_decisions,
     )
-    outputs = (inv, volume, consumed, loss_amt, net_volume, imm_pv, delta) + triggers
+    fields = (inv, volume, consumed, loss_amt, net_volume, imm_pv)
+    means = jnp.stack(
+        [expected_inventory] + [jnp.mean(x) for x in fields[1:]]
+    )  # [6], PANEL_FIELDS order
+    if collect_panels:
+        rows = jnp.stack(fields)  # [6, S]
+    else:
+        rows = jnp.zeros((6, 0), inv.dtype)
+    outputs = (means, delta, rows) + triggers
     return (new_inv, new_pv), outputs
 
 
 @partial(
     jax.jit,
-    static_argnames=("spec", "interp_kind", "num_grid_points", "extra_decisions"),
+    static_argnames=(
+        "spec", "interp_kind", "num_grid_points", "extra_decisions", "collect_panels",
+    ),
 )
 def forward_scan(
     carry,
@@ -398,6 +415,7 @@ def forward_scan(
     interp_kind: int,
     num_grid_points: int,
     extra_decisions: int,
+    collect_panels: bool = True,
 ):
     def step(carry, xs):
         (spot, f, cf, mu, sd, lo, hi, pil, lr, ic, wc, ci, cw, icr, dfs, df0, fp, dd) = xs
@@ -409,7 +427,7 @@ def forward_scan(
         return _forward_step_core(
             carry, spot, cont, lo, hi, pil, lr, ic, wc, ci, cw, icr, dfs, df0, fp, dd,
             interp_kind=interp_kind, num_grid_points=num_grid_points,
-            extra_decisions=extra_decisions,
+            extra_decisions=extra_decisions, collect_panels=collect_panels,
         )
 
     xs = (
@@ -432,12 +450,9 @@ def _chunk_bounds(n: int, num_chunks: int) -> List[Tuple[int, int]]:
     edges = np.linspace(0, n, num_chunks + 1).astype(int)
     return [(int(a), int(b)) for a, b in zip(edges[:-1], edges[1:]) if b > a]
 
-
-def _pipeline(
-    reg_spots,
-    reg_factors,
-    val_spots,
-    val_factors,
+def _backward_program(
+    reg_spots,  # [m, S] simulated periods only
+    reg_factors,  # [m, F, S]
     dev: LsmcDeviceInputs,
     spec: BasisSpec,
     interp_kind: int,
@@ -445,20 +460,17 @@ def _pipeline(
     extra_decisions: int,
     val_first: bool,
     terminal_fn,
-    discount_deltas: bool,
-) -> LsmcArrays:
-    """The whole LSMC computation as one traceable function.
+):
+    """Backward induction as one XLA program.
 
-    Backward induction + current-period step + forward simulation + result
-    assembly, with no host round-trips — under jit this compiles to a single
-    XLA program per (shape, config), which matters enormously on remote TPU
-    backends where every eager op is a dispatch.
+    Returns ``(backward_npv, cont_mean0 [G], coeffs [m,B,G], mus, sds)``.
+    ``cont_mean0`` is the current-period mean continuation when ``val_first``
+    (reference :171-181), else zeros (unused).
     """
-    n = reg_spots.shape[0] - 1
     G = num_grid_points
     num_sims = reg_spots.shape[-1]
     dtype = reg_spots.dtype
-    first_sim_step = 1 if val_first else 0
+    n = reg_spots.shape[0] - 1 + (1 if val_first else 0)  # total decision steps
 
     static = dict(
         spec=spec, interp_kind=interp_kind,
@@ -471,45 +483,72 @@ def _pipeline(
         v_end = jnp.zeros((num_sims, G), dtype=dtype)
     else:
         v_end = jnp.asarray(
-            terminal_fn(reg_spots[n][:, None], dev.grids[n][None, :]), dtype
+            terminal_fn(reg_spots[-1][:, None], dev.grids[n][None, :]), dtype
         )
         v_end = jnp.broadcast_to(v_end, (num_sims, G))
 
-    # ---- Backward induction over simulated periods ---- #
-    lo_k, hi_k = first_sim_step, n
+    first = 1 if val_first else 0
     v, coeffs, mus, sds = backward_scan(
         v_end,
-        reg_spots[lo_k:hi_k],
-        reg_factors[lo_k:hi_k],
-        dev.grids[lo_k:hi_k],
-        dev.space_lo[lo_k + 1 : hi_k + 1],
-        dev.space_hi[lo_k + 1 : hi_k + 1],
-        dev.pillars[lo_k:hi_k],
-        dev.loss[lo_k:hi_k],
-        dev.inject_cost[lo_k:hi_k],
-        dev.withdraw_cost[lo_k:hi_k],
-        dev.cons_inject[lo_k:hi_k],
-        dev.cons_withdraw[lo_k:hi_k],
-        dev.inv_cost_rate[lo_k:hi_k],
-        dev.df_settle[lo_k:hi_k],
-        dev.df_start[lo_k:hi_k],
+        reg_spots[: reg_spots.shape[0] - 1],
+        reg_factors[: reg_spots.shape[0] - 1],
+        dev.grids[first:n],
+        dev.space_lo[first + 1 : n + 1],
+        dev.space_hi[first + 1 : n + 1],
+        dev.pillars[first:n],
+        dev.loss[first:n],
+        dev.inject_cost[first:n],
+        dev.withdraw_cost[first:n],
+        dev.cons_inject[first:n],
+        dev.cons_withdraw[first:n],
+        dev.inv_cost_rate[first:n],
+        dev.df_settle[first:n],
+        dev.df_start[first:n],
         **static,
     )
 
-    # ---- Step 0 when the valuation date is the first active period ---- #
-    # The current period's price is deterministic, so the continuation is the
-    # plain sim-average of next-period values (reference :171-181) and the
-    # optimal decision is common to all sims.
     if val_first:
         v0, cont_mean0 = _current_period_step(
             v, dev, interp_kind, G, extra_decisions, dtype
         )
         backward_npv = jnp.mean(v0)
     else:
-        cont_mean0 = None
+        cont_mean0 = jnp.zeros((G,), dtype)
         backward_npv = jnp.mean(v[:, 0])
+    return backward_npv, cont_mean0, coeffs, mus, sds
 
-    # ---- Forward simulation ---- #
+
+def _forward_program(
+    val_spots,  # [m, S] simulated periods only
+    val_factors,  # [m, F, S]
+    cont_mean0,  # [G]
+    coeffs,  # [m-?, B, G] per simulated decision step
+    mus,
+    sds,
+    dev: LsmcDeviceInputs,
+    backward_npv,
+    spec: BasisSpec,
+    interp_kind: int,
+    num_grid_points: int,
+    extra_decisions: int,
+    val_first: bool,
+    terminal_fn,
+    discount_deltas: bool,
+    collect_panels: bool,
+) -> LsmcArrays:
+    """Forward policy simulation + result assembly as one XLA program."""
+    G = num_grid_points
+    num_sims = val_spots.shape[-1]
+    dtype = val_spots.dtype
+    n = val_spots.shape[0] - 1 + (1 if val_first else 0)
+    first = 1 if val_first else 0
+
+    static = dict(
+        spec=spec, interp_kind=interp_kind,
+        num_grid_points=G, extra_decisions=extra_decisions,
+        collect_panels=collect_panels,
+    )
+
     dfd = dev.df_settle if discount_deltas else jnp.ones_like(dev.df_settle)
     inv0 = jnp.full((num_sims,), dev.inventory, dtype)
     pv0 = jnp.zeros((num_sims,), dtype)
@@ -528,66 +567,87 @@ def _pipeline(
             dev.inv_cost_rate[0], dev.df_settle[0], dev.df_start[0],
             dev.fwd[0], dfd[0],
             interp_kind=interp_kind, num_grid_points=G,
-            extra_decisions=extra_decisions,
+            extra_decisions=extra_decisions, collect_panels=collect_panels,
         )
         out_parts.append(jax.tree.map(lambda x: x[None], outputs0))
 
     carry, outputs = forward_scan(
         carry,
-        val_spots[lo_k:hi_k],
-        val_factors[lo_k:hi_k],
+        val_spots[: val_spots.shape[0] - 1],
+        val_factors[: val_spots.shape[0] - 1],
         coeffs,
         mus,
         sds,
-        dev.space_lo[lo_k + 1 : hi_k + 1],
-        dev.space_hi[lo_k + 1 : hi_k + 1],
-        dev.pillars[lo_k:hi_k],
-        dev.loss[lo_k:hi_k],
-        dev.inject_cost[lo_k:hi_k],
-        dev.withdraw_cost[lo_k:hi_k],
-        dev.cons_inject[lo_k:hi_k],
-        dev.cons_withdraw[lo_k:hi_k],
-        dev.inv_cost_rate[lo_k:hi_k],
-        dev.df_settle[lo_k:hi_k],
-        dev.df_start[lo_k:hi_k],
-        dev.fwd[lo_k:hi_k],
-        dfd[lo_k:hi_k],
+        dev.space_lo[first + 1 : n + 1],
+        dev.space_hi[first + 1 : n + 1],
+        dev.pillars[first:n],
+        dev.loss[first:n],
+        dev.inject_cost[first:n],
+        dev.withdraw_cost[first:n],
+        dev.cons_inject[first:n],
+        dev.cons_withdraw[first:n],
+        dev.inv_cost_rate[first:n],
+        dev.df_settle[first:n],
+        dev.df_start[first:n],
+        dev.fwd[first:n],
+        dfd[first:n],
         **static,
     )
     out_parts.append(outputs)
 
     stacked = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *out_parts)
-    return _assemble_arrays(stacked, carry, val_spots, terminal_fn, backward_npv, dtype)
+    return _assemble_arrays(
+        stacked, carry, val_spots[-1], terminal_fn, backward_npv, dtype, collect_panels
+    )
 
 
-def _assemble_arrays(stacked, carry, val_spots, terminal_fn, backward_npv, dtype) -> LsmcArrays:
+def _assemble_arrays(
+    stacked, carry, end_spots, terminal_fn, backward_npv, dtype, collect_panels
+) -> LsmcArrays:
     (
-        inv_rows, volume_rows, consumed_rows, loss_rows, net_rows, pv_rows, deltas_rows,
+        means_rows,  # [n, 6] per-step means: inv, volume, consumed, loss, net, pv
+        deltas_rows,
+        rows,  # [n, 6, S] per-sim panels, or [n, 6, 0] when not collected
         has_inj, inj_vols, inj_prices, has_wdr, wdr_vols, wdr_prices,
     ) = stacked
-    num_sims = inv_rows.shape[-1]
     inv_final, pv_by_sim = carry
+    num_sims = inv_final.shape[0]
 
     # ---- End-period terminal PV (reference :563-579; valuation sims here,
     # see module docstring) ---- #
     if terminal_fn is not None:
-        terminal_pv = jnp.asarray(terminal_fn(val_spots[-1], inv_final), dtype)
+        terminal_pv = jnp.asarray(terminal_fn(end_spots, inv_final), dtype)
         terminal_pv = jnp.broadcast_to(terminal_pv, (num_sims,))
     else:
         terminal_pv = jnp.zeros((num_sims,), dtype)
     pv_by_sim = pv_by_sim + terminal_pv
 
-    zeros_row = jnp.zeros((1, num_sims), dtype)
+    end_means = jnp.stack(
+        [jnp.mean(inv_final), 0.0, 0.0, 0.0, 0.0, jnp.mean(terminal_pv)]
+    ).astype(dtype)
+    profile_means = jnp.concatenate([means_rows, end_means[None]], axis=0)
+
+    if collect_panels:
+        end_rows = jnp.stack(
+            [
+                inv_final,
+                jnp.zeros_like(inv_final),
+                jnp.zeros_like(inv_final),
+                jnp.zeros_like(inv_final),
+                jnp.zeros_like(inv_final),
+                terminal_pv,
+            ]
+        )  # [6, S]
+        panels = jnp.concatenate([rows, end_rows[None]], axis=0)  # [n+1, 6, S]
+    else:
+        panels = jnp.zeros((profile_means.shape[0], 6, 0), dtype)
+
     return LsmcArrays(
         npv=jnp.mean(pv_by_sim),
         backward_npv=backward_npv,
         deltas=jnp.concatenate([deltas_rows, jnp.zeros((1,), dtype)], axis=0),
-        inventory=jnp.concatenate([inv_rows, inv_final[None]], axis=0),
-        inject_withdraw=jnp.concatenate([volume_rows, zeros_row], axis=0),
-        cmdty_consumed=jnp.concatenate([consumed_rows, zeros_row], axis=0),
-        inventory_loss=jnp.concatenate([loss_rows, zeros_row], axis=0),
-        net_volume=jnp.concatenate([net_rows, zeros_row], axis=0),
-        period_pv=jnp.concatenate([pv_rows, terminal_pv[None]], axis=0),
+        profile_means=profile_means,
+        panels=panels,
         pv_by_sim=pv_by_sim,
         trigger_has_inject=has_inj,
         trigger_has_withdraw=has_wdr,
@@ -598,21 +658,27 @@ def _assemble_arrays(stacked, carry, val_spots, terminal_fn, backward_npv, dtype
     )
 
 
-_pipeline_jit = jax.jit(
-    _pipeline,
+_backward_program_jit = jax.jit(
+    _backward_program,
     static_argnames=(
         "spec", "interp_kind", "num_grid_points", "extra_decisions",
-        "val_first", "terminal_fn", "discount_deltas",
+        "val_first", "terminal_fn",
+    ),
+)
+
+_forward_program_jit = jax.jit(
+    _forward_program,
+    static_argnames=(
+        "spec", "interp_kind", "num_grid_points", "extra_decisions",
+        "val_first", "terminal_fn", "discount_deltas", "collect_panels",
     ),
 )
 
 
 def run_lsmc(
     ctx: ValuationContext,
-    reg_spots: jax.Array,  # [n+1, S] (row 0 ignored when val is first step)
-    reg_factors: jax.Array,  # [n+1, F, S]
-    val_spots: jax.Array,
-    val_factors: jax.Array,
+    reg_sims,  # callable () -> (spots [m, S], factors [m, F, S]) or tuple
+    val_sims,  # callable () -> (spots [m, S], factors [m, F, S]) or tuple
     spec: BasisSpec,
     discount_deltas: bool,
     extra_decisions: int = 0,
@@ -621,74 +687,95 @@ def run_lsmc(
     cancelled: Optional[Callable[[], bool]] = None,
     num_progress_chunks: int = 20,
     mesh=None,
+    collect_panels: bool = True,
 ) -> LsmcArrays:
     """Run backward induction + forward simulation.
 
-    Without progress/cancellation hooks the whole valuation compiles to ONE
-    XLA program (:func:`_pipeline`).  With hooks, the scans are split into
-    chunks with host callbacks between them, mirroring the reference's
-    per-period progress/cancellation (:337-339, :488-490).
+    ``reg_sims``/``val_sims`` are factories so the regression path set can be
+    freed before the valuation set is simulated — at production path counts
+    each set is GBs of HBM (reference simulates lazily per phase too,
+    :100 and :346).
+
+    The common case compiles to exactly two XLA programs (backward/forward).
+    With progress/cancellation hooks the scans split into chunks with host
+    callbacks between them (reference :337-339, :488-490).
     """
     G = ctx.num_grid_points
+    dev = device_inputs(ctx, dtype)
+    statics = dict(
+        spec=spec,
+        interp_kind=ctx.interp_kind,
+        num_grid_points=G,
+        extra_decisions=extra_decisions,
+        val_first=ctx.val_date_is_first_step,
+        terminal_fn=ctx.storage.terminal_npv_fn,
+    )
 
-    if mesh is not None:
-        # GSPMD scale-out: shard the sims axis over the mesh; XLA inserts the
-        # cross-shard all-reduces for the regression Gram/cross products and
-        # every mean over sims.
+    def shard(spots, factors):
+        if mesh is None:
+            return spots, factors
         from ..parallel.mesh import shard_sims
 
-        reg_spots = shard_sims(mesh, reg_spots, 1)
-        reg_factors = shard_sims(mesh, reg_factors, 2)
-        val_spots = shard_sims(mesh, val_spots, 1)
-        val_factors = shard_sims(mesh, val_factors, 2)
+        return shard_sims(mesh, spots, 1), shard_sims(mesh, factors, 2)
 
-    dev = device_inputs(ctx, dtype)
     chunked = on_progress_update is not None or cancelled is not None
-    if not chunked:
-        return _pipeline_jit(
-            reg_spots, reg_factors, val_spots, val_factors, dev,
-            spec=spec, interp_kind=ctx.interp_kind, num_grid_points=G,
-            extra_decisions=extra_decisions,
-            val_first=ctx.val_date_is_first_step,
-            terminal_fn=ctx.storage.terminal_npv_fn,
-            discount_deltas=discount_deltas,
+    if chunked:
+        return _run_lsmc_chunked(
+            ctx, reg_sims, val_sims, dev, spec, discount_deltas, extra_decisions,
+            dtype, on_progress_update, cancelled, num_progress_chunks, mesh,
+            collect_panels,
         )
-    return _run_lsmc_chunked(
-        ctx, reg_spots, reg_factors, val_spots, val_factors, dev, spec,
-        discount_deltas, extra_decisions, dtype, on_progress_update, cancelled,
-        num_progress_chunks,
+
+    reg_spots, reg_factors = shard(*(reg_sims() if callable(reg_sims) else reg_sims))
+    backward_npv, cont_mean0, coeffs, mus, sds = _backward_program_jit(
+        reg_spots, reg_factors, dev, **statics
+    )
+    jax.block_until_ready(coeffs)
+    del reg_spots, reg_factors
+
+    val_spots, val_factors = shard(*(val_sims() if callable(val_sims) else val_sims))
+    return _forward_program_jit(
+        val_spots, val_factors, cont_mean0, coeffs, mus, sds, dev, backward_npv,
+        discount_deltas=discount_deltas, collect_panels=collect_panels, **statics
     )
 
 
 def _run_lsmc_chunked(
-    ctx, reg_spots, reg_factors, val_spots, val_factors, dev, spec,
-    discount_deltas, extra_decisions, dtype, on_progress_update, cancelled,
-    num_progress_chunks,
+    ctx, reg_sims, val_sims, dev, spec, discount_deltas, extra_decisions,
+    dtype, on_progress_update, cancelled, num_progress_chunks, mesh,
+    collect_panels,
 ) -> LsmcArrays:
     """Chunked variant with host progress/cancellation between scan chunks."""
     n = ctx.n_steps
     G = ctx.num_grid_points
-    num_sims = reg_spots.shape[-1]
     interp_kind = ctx.interp_kind
     terminal_fn = ctx.storage.terminal_npv_fn
+    val_first = ctx.val_date_is_first_step
+    first = 1 if val_first else 0
+
+    def shard(spots, factors):
+        if mesh is None:
+            return spots, factors
+        from ..parallel.mesh import shard_sims
+
+        return shard_sims(mesh, spots, 1), shard_sims(mesh, factors, 2)
 
     def check_cancel():
         if cancelled is not None and cancelled():
             raise ValuationCancelledError("Storage valuation was cancelled.")
 
-    progress = 0.0
-
-    def report(frac_done_total: float):
-        nonlocal progress
-        progress = frac_done_total
+    def report(frac):
         if on_progress_update is not None:
-            on_progress_update(progress)
+            on_progress_update(frac)
+
+    reg_spots, reg_factors = shard(*(reg_sims() if callable(reg_sims) else reg_sims))
+    num_sims = reg_spots.shape[-1]
 
     if terminal_fn is None:
         v_end = jnp.zeros((num_sims, G), dtype=dtype)
     else:
         v_end = jnp.asarray(
-            terminal_fn(reg_spots[n][:, None], dev.grids[n][None, :]), dtype
+            terminal_fn(reg_spots[-1][:, None], dev.grids[n][None, :]), dtype
         )
         v_end = jnp.broadcast_to(v_end, (num_sims, G))
 
@@ -696,21 +783,21 @@ def _run_lsmc_chunked(
         spec=spec, interp_kind=interp_kind,
         num_grid_points=G, extra_decisions=extra_decisions,
     )
-    first_sim_step = 1 if ctx.val_date_is_first_step else 0
+    m = n - first  # simulated decision steps
 
-    spans = _chunk_bounds(n - first_sim_step, num_progress_chunks)
+    spans = _chunk_bounds(m, num_progress_chunks)
     v = v_end
     coeffs_parts: List[jax.Array] = []
     mu_parts: List[jax.Array] = []
     sd_parts: List[jax.Array] = []
     total_back = max(1, len(spans))
     for i, (a, b) in enumerate(reversed(spans)):
-        lo_k = first_sim_step + a
-        hi_k = first_sim_step + b
+        lo_k = first + a
+        hi_k = first + b
         v, coeffs_c, mu_c, sd_c = backward_scan(
             v,
-            reg_spots[lo_k:hi_k],
-            reg_factors[lo_k:hi_k],
+            reg_spots[a:b],
+            reg_factors[a:b],
             dev.grids[lo_k:hi_k],
             dev.space_lo[lo_k + 1 : hi_k + 1],
             dev.space_hi[lo_k + 1 : hi_k + 1],
@@ -734,14 +821,17 @@ def _run_lsmc_chunked(
     mus = jnp.concatenate(mu_parts, axis=0)
     sds = jnp.concatenate(sd_parts, axis=0)
 
-    if ctx.val_date_is_first_step:
+    if val_first:
         v0, cont_mean0 = _current_period_step(
             v, dev, interp_kind, G, extra_decisions, dtype
         )
         backward_npv = jnp.mean(v0)
     else:
-        cont_mean0 = None
+        cont_mean0 = jnp.zeros((G,), dtype)
         backward_npv = jnp.mean(v[:, 0])
+    del v, reg_spots, reg_factors
+
+    val_spots, val_factors = shard(*(val_sims() if callable(val_sims) else val_sims))
 
     dfd = dev.df_settle if discount_deltas else jnp.ones_like(dev.df_settle)
     inv0 = jnp.full((num_sims,), dev.inventory, dtype)
@@ -749,7 +839,7 @@ def _run_lsmc_chunked(
     carry = (inv0, pv0)
     out_parts = []
 
-    if ctx.val_date_is_first_step:
+    if val_first:
         cont0 = jnp.broadcast_to(cont_mean0[None, :], (num_sims, G))
         spot0 = jnp.full((num_sims,), dev.fwd[0])
         carry, outputs0 = _forward_step_core(
@@ -761,19 +851,19 @@ def _run_lsmc_chunked(
             dev.inv_cost_rate[0], dev.df_settle[0], dev.df_start[0],
             dev.fwd[0], dfd[0],
             interp_kind=interp_kind, num_grid_points=G,
-            extra_decisions=extra_decisions,
+            extra_decisions=extra_decisions, collect_panels=collect_panels,
         )
         out_parts.append(jax.tree.map(lambda x: x[None], outputs0))
 
-    fwd_spans = _chunk_bounds(n - first_sim_step, num_progress_chunks)
+    fwd_spans = _chunk_bounds(m, num_progress_chunks)
     total_fwd = max(1, len(fwd_spans))
     for i, (a, b) in enumerate(fwd_spans):
-        lo_k = first_sim_step + a
-        hi_k = first_sim_step + b
+        lo_k = first + a
+        hi_k = first + b
         carry, outputs = forward_scan(
             carry,
-            val_spots[lo_k:hi_k],
-            val_factors[lo_k:hi_k],
+            val_spots[a:b],
+            val_factors[a:b],
             coeffs[a:b],
             mus[a:b],
             sds[a:b],
@@ -790,6 +880,7 @@ def _run_lsmc_chunked(
             dev.df_start[lo_k:hi_k],
             dev.fwd[lo_k:hi_k],
             dfd[lo_k:hi_k],
+            collect_panels=collect_panels,
             **static,
         )
         out_parts.append(outputs)
@@ -797,7 +888,9 @@ def _run_lsmc_chunked(
         report(BACKWARD_PCNT_TIME + (1.0 - BACKWARD_PCNT_TIME) * (i + 1) / total_fwd)
 
     stacked = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *out_parts)
-    arrays = _assemble_arrays(stacked, carry, val_spots, terminal_fn, backward_npv, dtype)
+    arrays = _assemble_arrays(
+        stacked, carry, val_spots[-1], terminal_fn, backward_npv, dtype, collect_panels
+    )
     report(1.0)
     return arrays
 

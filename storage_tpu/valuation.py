@@ -244,50 +244,48 @@ def _multi_factor_calc(
     else:
         val_key = jax.random.PRNGKey(int(fwd_sim_seed))
 
-    logger.info("Starting regression spot price simulation.")
-    with stopwatches.time("RegressionPriceSimulation"):
-        reg_spots_sim, reg_factors_sim = simulate_spot_paths(
-            coeffs, num_sims, None, antithetic, dtype, key=reg_key
-        )
-    logger.info("Spot regression price simulation complete.")
-    logger.info("Starting valuation spot price simulation.")
-    with stopwatches.time("ValuationPriceSimulation"):
-        val_spots_sim, val_factors_sim = simulate_spot_paths(
-            coeffs, num_sims, None, antithetic, dtype, key=val_key
-        )
-    logger.info("Valuation spot price simulation complete.")
+    # Simulation factories: the engine simulates each path set lazily so the
+    # regression set can be freed before the valuation set allocates
+    # (reference simulates per phase too, LsmcStorageValuation.cs:100, :346).
+    sims_cache = {}
 
-    num_factors = len(factors)
-    if first_sim_step == 1:
-        # Prepend the deterministic current-period row (price == forward,
-        # factor states == 0); the engine special-cases step 0 anyway.
-        fwd0 = jnp.full((1, num_sims), jnp.asarray(ctx.fwd[0], dtype))
-        zeros_f = jnp.zeros((1, num_factors, num_sims), dtype)
-        reg_spots = jnp.concatenate([fwd0, reg_spots_sim], axis=0)
-        reg_factors = jnp.concatenate([zeros_f, reg_factors_sim], axis=0)
-        val_spots = jnp.concatenate([fwd0, val_spots_sim], axis=0)
-        val_factors = jnp.concatenate([zeros_f, val_factors_sim], axis=0)
-    else:
-        reg_spots, reg_factors = reg_spots_sim, reg_factors_sim
-        val_spots, val_factors = val_spots_sim, val_factors_sim
+    def make_reg():
+        logger.info("Starting regression spot price simulation.")
+        with stopwatches.time("RegressionPriceSimulation"):
+            spots, f = simulate_spot_paths(coeffs, num_sims, None, antithetic, dtype, key=reg_key)
+        logger.info("Spot regression price simulation complete.")
+        if return_sim_panels:
+            sims_cache["reg"] = spots
+        return spots, f
+
+    def make_val():
+        logger.info("Starting valuation spot price simulation.")
+        with stopwatches.time("ValuationPriceSimulation"):
+            spots, f = simulate_spot_paths(coeffs, num_sims, None, antithetic, dtype, key=val_key)
+        logger.info("Valuation spot price simulation complete.")
+        if return_sim_panels:
+            sims_cache["val"] = spots
+        return spots, f
 
     logger.info("Calculating LSMC value.")
     stopwatches.start("BackwardInduction")
     arrays = run_lsmc(
-        ctx, reg_spots, reg_factors, val_spots, val_factors, spec,
+        ctx, make_reg, make_val, spec,
         discount_deltas=discount_deltas,
         extra_decisions=int(extra_decisions or 0),
         dtype=dtype,
         on_progress_update=on_progress_update,
         cancelled=cancelled,
         mesh=mesh,
+        collect_panels=return_sim_panels,
     )
     jax.block_until_ready(arrays.npv)
     stopwatches.stop("BackwardInduction")
     logger.info("Calculation of LSMC value complete.")
 
     results = _assemble_results(ctx, arrays, intrinsic, sim_periods,
-                                reg_spots_sim, val_spots_sim, return_sim_panels)
+                                sims_cache.get("reg"), sims_cache.get("val"),
+                                return_sim_panels)
     logger.info(
         "Forward Pv: %s; Backward Pv: %s",
         f"{results.npv:,.2f}",
@@ -307,36 +305,28 @@ def _assemble_results(
     sim_index = pd.PeriodIndex(sim_periods, freq=freq)
     empty_panel = pd.DataFrame(index=periods)
 
-    def panel(rows) -> pd.DataFrame:
+    if return_sim_panels:
+        panels_np = np.asarray(arrays.panels, dtype=np.float64)  # [n+1, 6, S]
+
+    def panel(field_idx: int) -> pd.DataFrame:
         if not return_sim_panels:
             return empty_panel
-        return pd.DataFrame(np.asarray(rows, dtype=np.float64), index=periods)
+        return pd.DataFrame(panels_np[:, field_idx, :], index=periods)
 
     deltas = pd.Series(np.asarray(arrays.deltas, dtype=np.float64), index=periods)
 
-    # Expected storage profile: reduce over sims ON DEVICE, pull only [n+1]
-    # vectors — per-sim panels can be GBs at production path counts and must
-    # not transit the host link unless explicitly requested.
-    profile_means = jax.device_get(
-        jnp.stack(
-            [
-                jnp.mean(arrays.inventory, axis=1),
-                jnp.mean(arrays.inject_withdraw, axis=1),
-                jnp.mean(arrays.cmdty_consumed, axis=1),
-                jnp.mean(arrays.inventory_loss, axis=1),
-                jnp.mean(arrays.net_volume, axis=1),
-                jnp.mean(arrays.period_pv, axis=1),
-            ]
-        )
-    ).astype(np.float64)
+    # Expected storage profile: reduced over sims ON DEVICE inside the engine;
+    # only [n+1, 6] transits the host link (per-sim panels can be GBs at
+    # production path counts).
+    profile_means = np.asarray(arrays.profile_means, dtype=np.float64)
     profile = pd.DataFrame(
         {
-            "inventory": profile_means[0],
-            "inject_withdraw_volume": profile_means[1],
-            "cmdty_consumed": profile_means[2],
-            "inventory_loss": profile_means[3],
-            "net_volume": profile_means[4],
-            "period_pv": profile_means[5],
+            "inventory": profile_means[:, 0],
+            "inject_withdraw_volume": profile_means[:, 1],
+            "cmdty_consumed": profile_means[:, 2],
+            "inventory_loss": profile_means[:, 3],
+            "net_volume": profile_means[:, 4],
+            "period_pv": profile_means[:, 5],
         },
         index=periods,
     )
@@ -379,7 +369,7 @@ def _assemble_results(
         profiles_list.append(TriggerPriceProfile(inject_points, withdraw_points))
     trigger_profiles = pd.Series(profiles_list, index=decision_index, dtype=object)
 
-    if return_sim_panels:
+    if return_sim_panels and reg_spots_sim is not None:
         sim_spot_regress = pd.DataFrame(np.asarray(reg_spots_sim, dtype=np.float64), index=sim_index)
         sim_spot_valuation = pd.DataFrame(np.asarray(val_spots_sim, dtype=np.float64), index=sim_index)
     else:
@@ -394,12 +384,12 @@ def _assemble_results(
         intrinsic_profile=intrinsic.profile,
         sim_spot_regress=sim_spot_regress,
         sim_spot_valuation=sim_spot_valuation,
-        sim_inventory=panel(arrays.inventory),
-        sim_inject_withdraw=panel(arrays.inject_withdraw),
-        sim_cmdty_consumed=panel(arrays.cmdty_consumed),
-        sim_inventory_loss=panel(arrays.inventory_loss),
-        sim_net_volume=panel(arrays.net_volume),
-        sim_pv=panel(arrays.period_pv),
+        sim_inventory=panel(0),
+        sim_inject_withdraw=panel(1),
+        sim_cmdty_consumed=panel(2),
+        sim_inventory_loss=panel(3),
+        sim_net_volume=panel(4),
+        sim_pv=panel(5),
         trigger_prices=trigger_prices,
         trigger_profiles=trigger_profiles,
     )
