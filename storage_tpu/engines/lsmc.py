@@ -156,15 +156,21 @@ def _backward_step_core(
 ):
     """One backward-induction period (reference :166-340).
 
-    Returns ``(v_this [S, G], coeffs [B, G], mean [B], scale [B])``.
+    Returns ``(v_this [S, G], coeffs [B, G], mean [B], scale [B], vbar [G])``.
     """
     X = design_matrix(spec, spot, factors)
     Xs, mu, sd = standardize_columns(X)
-    coeffs = fit_continuation(Xs, v_next)  # [B, G]
+    # Centre the regression target: continuation values carry the cumulated
+    # storage value (magnitudes >> their spread), and the TPU's sequential
+    # f32 tile accumulation in X^T V loses enough mantissa at 10^5-10^6 path
+    # counts to visibly degrade the fitted policy.  Regressing (V - mean) and
+    # adding the mean back bounds accumulation magnitudes by the spread.
+    vbar = jnp.mean(v_next, axis=0)  # [G]
+    coeffs = fit_continuation(Xs, v_next - vbar)  # [B, G]
     fitted = jnp.dot(
         Xs, coeffs, preferred_element_type=Xs.dtype,
         precision=jax.lax.Precision.HIGHEST,
-    )  # [S, G]
+    ) + vbar  # [S, G]
 
     econ = step_economics(
         grid, pillars, interp_kind, loss, next_lo, next_hi,
@@ -175,9 +181,8 @@ def _backward_step_core(
     # [G, D] indices/weights onto the next period's grid columns.
 
     num_decisions = econ.decisions.shape[-1]
-    neg_inf = jnp.asarray(-jnp.inf, v_next.dtype)
-    best_fitted_total = jnp.full(v_next.shape, neg_inf)
-    best_actual_total = jnp.zeros_like(v_next)
+    best_fitted_total = None
+    best_actual_total = None
     for d in range(num_decisions):  # static small D: keeps peak memory at O(S*G)
         j_d, w_d = j[:, d], w[:, d]
         fitted_cont = jnp.take(fitted, j_d, axis=1) * (1.0 - w_d) + jnp.take(
@@ -188,12 +193,18 @@ def _backward_step_core(
         ) * w_d
         immediate = econ.price_coeff[None, :, d] * spot[:, None] - econ.cost_npv[None, :, d]
         total_fitted = immediate + fitted_cont
-        better = total_fitted > best_fitted_total
-        best_fitted_total = jnp.where(better, total_fitted, best_fitted_total)
         # Lower-bound estimator: realised value of the chosen decision uses the
-        # ACTUAL simulated continuation (reference :321-329).
-        best_actual_total = jnp.where(better, immediate + actual_cont, best_actual_total)
-    return best_actual_total, coeffs, mu, sd
+        # ACTUAL simulated continuation (reference :321-329).  Decision 0 seeds
+        # the running argmax unconditionally so a non-finite comparison can
+        # never leave the carried values at a bogus initialiser.
+        if best_fitted_total is None:
+            best_fitted_total = total_fitted
+            best_actual_total = immediate + actual_cont
+        else:
+            better = total_fitted > best_fitted_total
+            best_fitted_total = jnp.where(better, total_fitted, best_fitted_total)
+            best_actual_total = jnp.where(better, immediate + actual_cont, best_actual_total)
+    return best_actual_total, coeffs, mu, sd, vbar
 
 
 @partial(
@@ -226,20 +237,20 @@ def backward_scan(
 
     def step(v_next, xs):
         (spot, f, grid, lo, hi, pil, lo_r, ic, wc, ci, cw, icr, dfs, df0) = xs
-        v_this, coeffs, mu, sd = _backward_step_core(
+        v_this, coeffs, mu, sd, vbar = _backward_step_core(
             v_next, spot, f, grid, lo, hi, pil, lo_r, ic, wc, ci, cw, icr, dfs, df0,
             spec=spec, interp_kind=interp_kind,
             num_grid_points=num_grid_points, extra_decisions=extra_decisions,
         )
-        return v_this, (coeffs, mu, sd)
+        return v_this, (coeffs, mu, sd, vbar)
 
     xs = (
         spots, factors, grids, next_lo, next_hi, pillars, loss,
         inject_cost, withdraw_cost, cons_inject, cons_withdraw, inv_cost_rate,
         df_settle, df_start,
     )
-    v_final, (coeffs, mu, sd) = jax.lax.scan(step, v_init, xs, reverse=True)
-    return v_final, coeffs, mu, sd
+    v_final, (coeffs, mu, sd, vbar) = jax.lax.scan(step, v_init, xs, reverse=True)
+    return v_final, coeffs, mu, sd, vbar
 
 
 # --------------------------------------------------------------------------- #
@@ -398,6 +409,7 @@ def forward_scan(
     coeffs,  # [m, B, G]
     mus,  # [m, B]
     sds,  # [m, B]
+    vbars,  # [m, G]
     next_lo,  # [m]
     next_hi,  # [m]
     pillars,
@@ -418,12 +430,12 @@ def forward_scan(
     collect_panels: bool = True,
 ):
     def step(carry, xs):
-        (spot, f, cf, mu, sd, lo, hi, pil, lr, ic, wc, ci, cw, icr, dfs, df0, fp, dd) = xs
+        (spot, f, cf, mu, sd, vbar, lo, hi, pil, lr, ic, wc, ci, cw, icr, dfs, df0, fp, dd) = xs
         X = design_matrix(spec, spot, f)
         cont = jnp.dot(
             (X - mu) / sd, cf, preferred_element_type=X.dtype,
             precision=jax.lax.Precision.HIGHEST,
-        )  # [S, G]
+        ) + vbar  # [S, G]
         return _forward_step_core(
             carry, spot, cont, lo, hi, pil, lr, ic, wc, ci, cw, icr, dfs, df0, fp, dd,
             interp_kind=interp_kind, num_grid_points=num_grid_points,
@@ -431,7 +443,7 @@ def forward_scan(
         )
 
     xs = (
-        spots, factors, coeffs, mus, sds, next_lo, next_hi, pillars, loss,
+        spots, factors, coeffs, mus, sds, vbars, next_lo, next_hi, pillars, loss,
         inject_cost, withdraw_cost, cons_inject, cons_withdraw, inv_cost_rate,
         df_settle, df_start, fwd, discount_for_deltas,
     )
@@ -450,6 +462,20 @@ def _chunk_bounds(n: int, num_chunks: int) -> List[Tuple[int, int]]:
     edges = np.linspace(0, n, num_chunks + 1).astype(int)
     return [(int(a), int(b)) for a, b in zip(edges[:-1], edges[1:]) if b > a]
 
+
+# Empirically, the axon TPU backend mis-lowers long scans once the cumulative
+# steps x sims x grid element count crosses ~2^31 (int32 offset overflow):
+# the carried value matrix silently comes back all-zero.  Splitting into
+# sub-scans below this budget inside the same program is loss-free.
+_MAX_SCAN_ELEMENTS = 1_000_000_000
+
+
+def _overflow_safe_spans(num_steps: int, num_sims: int, num_grid: int) -> List[Tuple[int, int]]:
+    per_step = max(1, num_sims * num_grid)
+    max_steps = max(1, _MAX_SCAN_ELEMENTS // per_step)
+    num_chunks = -(-num_steps // max_steps)
+    return _chunk_bounds(num_steps, num_chunks)
+
 def _backward_program(
     reg_spots,  # [m, S] simulated periods only
     reg_factors,  # [m, F, S]
@@ -463,7 +489,7 @@ def _backward_program(
 ):
     """Backward induction as one XLA program.
 
-    Returns ``(backward_npv, cont_mean0 [G], coeffs [m,B,G], mus, sds)``.
+    Returns ``(backward_npv, cont_mean0 [G], coeffs [m,B,G], mus, sds, vbars)``.
     ``cont_mean0`` is the current-period mean continuation when ``val_first``
     (reference :171-181), else zeros (unused).
     """
@@ -488,23 +514,32 @@ def _backward_program(
         v_end = jnp.broadcast_to(v_end, (num_sims, G))
 
     first = 1 if val_first else 0
-    v, coeffs, mus, sds = backward_scan(
-        v_end,
-        reg_spots[: reg_spots.shape[0] - 1],
-        reg_factors[: reg_spots.shape[0] - 1],
-        dev.grids[first:n],
-        dev.space_lo[first + 1 : n + 1],
-        dev.space_hi[first + 1 : n + 1],
-        dev.pillars[first:n],
-        dev.loss[first:n],
-        dev.inject_cost[first:n],
-        dev.withdraw_cost[first:n],
-        dev.cons_inject[first:n],
-        dev.cons_withdraw[first:n],
-        dev.inv_cost_rate[first:n],
-        dev.df_settle[first:n],
-        dev.df_start[first:n],
-        **static,
+    m = reg_spots.shape[0] - 1  # simulated decision steps
+    v = v_end
+    parts = []
+    for a, b in reversed(_overflow_safe_spans(m, num_sims, G)):
+        lo_k, hi_k = first + a, first + b
+        v, coeffs_c, mus_c, sds_c, vbars_c = backward_scan(
+            v,
+            reg_spots[a:b],
+            reg_factors[a:b],
+            dev.grids[lo_k:hi_k],
+            dev.space_lo[lo_k + 1 : hi_k + 1],
+            dev.space_hi[lo_k + 1 : hi_k + 1],
+            dev.pillars[lo_k:hi_k],
+            dev.loss[lo_k:hi_k],
+            dev.inject_cost[lo_k:hi_k],
+            dev.withdraw_cost[lo_k:hi_k],
+            dev.cons_inject[lo_k:hi_k],
+            dev.cons_withdraw[lo_k:hi_k],
+            dev.inv_cost_rate[lo_k:hi_k],
+            dev.df_settle[lo_k:hi_k],
+            dev.df_start[lo_k:hi_k],
+            **static,
+        )
+        parts.insert(0, (coeffs_c, mus_c, sds_c, vbars_c))
+    coeffs, mus, sds, vbars = (
+        jnp.concatenate([p[i] for p in parts], axis=0) for i in range(4)
     )
 
     if val_first:
@@ -515,7 +550,7 @@ def _backward_program(
     else:
         cont_mean0 = jnp.zeros((G,), dtype)
         backward_npv = jnp.mean(v[:, 0])
-    return backward_npv, cont_mean0, coeffs, mus, sds
+    return backward_npv, cont_mean0, coeffs, mus, sds, vbars
 
 
 def _forward_program(
@@ -525,6 +560,7 @@ def _forward_program(
     coeffs,  # [m-?, B, G] per simulated decision step
     mus,
     sds,
+    vbars,
     dev: LsmcDeviceInputs,
     backward_npv,
     spec: BasisSpec,
@@ -571,29 +607,33 @@ def _forward_program(
         )
         out_parts.append(jax.tree.map(lambda x: x[None], outputs0))
 
-    carry, outputs = forward_scan(
-        carry,
-        val_spots[: val_spots.shape[0] - 1],
-        val_factors[: val_spots.shape[0] - 1],
-        coeffs,
-        mus,
-        sds,
-        dev.space_lo[first + 1 : n + 1],
-        dev.space_hi[first + 1 : n + 1],
-        dev.pillars[first:n],
-        dev.loss[first:n],
-        dev.inject_cost[first:n],
-        dev.withdraw_cost[first:n],
-        dev.cons_inject[first:n],
-        dev.cons_withdraw[first:n],
-        dev.inv_cost_rate[first:n],
-        dev.df_settle[first:n],
-        dev.df_start[first:n],
-        dev.fwd[first:n],
-        dfd[first:n],
-        **static,
-    )
-    out_parts.append(outputs)
+    m = val_spots.shape[0] - 1
+    for a, b in _overflow_safe_spans(m, num_sims, G):
+        lo_k, hi_k = first + a, first + b
+        carry, outputs = forward_scan(
+            carry,
+            val_spots[a:b],
+            val_factors[a:b],
+            coeffs[a:b],
+            mus[a:b],
+            sds[a:b],
+            vbars[a:b],
+            dev.space_lo[lo_k + 1 : hi_k + 1],
+            dev.space_hi[lo_k + 1 : hi_k + 1],
+            dev.pillars[lo_k:hi_k],
+            dev.loss[lo_k:hi_k],
+            dev.inject_cost[lo_k:hi_k],
+            dev.withdraw_cost[lo_k:hi_k],
+            dev.cons_inject[lo_k:hi_k],
+            dev.cons_withdraw[lo_k:hi_k],
+            dev.inv_cost_rate[lo_k:hi_k],
+            dev.df_settle[lo_k:hi_k],
+            dev.df_start[lo_k:hi_k],
+            dev.fwd[lo_k:hi_k],
+            dfd[lo_k:hi_k],
+            **static,
+        )
+        out_parts.append(outputs)
 
     stacked = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *out_parts)
     return _assemble_arrays(
@@ -727,7 +767,7 @@ def run_lsmc(
         )
 
     reg_spots, reg_factors = shard(*(reg_sims() if callable(reg_sims) else reg_sims))
-    backward_npv, cont_mean0, coeffs, mus, sds = _backward_program_jit(
+    backward_npv, cont_mean0, coeffs, mus, sds, vbars = _backward_program_jit(
         reg_spots, reg_factors, dev, **statics
     )
     jax.block_until_ready(coeffs)
@@ -735,7 +775,7 @@ def run_lsmc(
 
     val_spots, val_factors = shard(*(val_sims() if callable(val_sims) else val_sims))
     return _forward_program_jit(
-        val_spots, val_factors, cont_mean0, coeffs, mus, sds, dev, backward_npv,
+        val_spots, val_factors, cont_mean0, coeffs, mus, sds, vbars, dev, backward_npv,
         discount_deltas=discount_deltas, collect_panels=collect_panels, **statics
     )
 
@@ -785,16 +825,19 @@ def _run_lsmc_chunked(
     )
     m = n - first  # simulated decision steps
 
-    spans = _chunk_bounds(m, num_progress_chunks)
+    per_step = num_sims * G
+    min_chunks = -(-m * per_step // _MAX_SCAN_ELEMENTS)
+    spans = _chunk_bounds(m, max(num_progress_chunks, min_chunks))
     v = v_end
     coeffs_parts: List[jax.Array] = []
     mu_parts: List[jax.Array] = []
     sd_parts: List[jax.Array] = []
+    vbar_parts: List[jax.Array] = []
     total_back = max(1, len(spans))
     for i, (a, b) in enumerate(reversed(spans)):
         lo_k = first + a
         hi_k = first + b
-        v, coeffs_c, mu_c, sd_c = backward_scan(
+        v, coeffs_c, mu_c, sd_c, vbar_c = backward_scan(
             v,
             reg_spots[a:b],
             reg_factors[a:b],
@@ -815,11 +858,13 @@ def _run_lsmc_chunked(
         coeffs_parts.insert(0, coeffs_c)
         mu_parts.insert(0, mu_c)
         sd_parts.insert(0, sd_c)
+        vbar_parts.insert(0, vbar_c)
         check_cancel()
         report(BACKWARD_PCNT_TIME * (i + 1) / total_back)
     coeffs = jnp.concatenate(coeffs_parts, axis=0)
     mus = jnp.concatenate(mu_parts, axis=0)
     sds = jnp.concatenate(sd_parts, axis=0)
+    vbars = jnp.concatenate(vbar_parts, axis=0)
 
     if val_first:
         v0, cont_mean0 = _current_period_step(
@@ -855,7 +900,7 @@ def _run_lsmc_chunked(
         )
         out_parts.append(jax.tree.map(lambda x: x[None], outputs0))
 
-    fwd_spans = _chunk_bounds(m, num_progress_chunks)
+    fwd_spans = _chunk_bounds(m, max(num_progress_chunks, min_chunks))
     total_fwd = max(1, len(fwd_spans))
     for i, (a, b) in enumerate(fwd_spans):
         lo_k = first + a
@@ -867,6 +912,7 @@ def _run_lsmc_chunked(
             coeffs[a:b],
             mus[a:b],
             sds[a:b],
+            vbars[a:b],
             dev.space_lo[lo_k + 1 : hi_k + 1],
             dev.space_hi[lo_k + 1 : hi_k + 1],
             dev.pillars[lo_k:hi_k],

@@ -100,7 +100,7 @@ def standardize_columns(design, eps: float = 1e-12):
     return (design - mean) / scale, mean, scale
 
 
-def fit_continuation(design_std, values, ridge: float = 1e-7):
+def fit_continuation(design_std, values, ridge: float = 1e-6):
     """Regression coefficients for every next-grid value column at once.
 
     Args:
@@ -132,4 +132,10 @@ def fit_continuation(design_std, values, ridge: float = 1e-7):
     reg = ridge * num_sims
     gram = gram + reg * jnp.eye(gram.shape[0], dtype=gram.dtype)
     cho = jax.scipy.linalg.cho_factor(gram)
-    return jax.scipy.linalg.cho_solve(cho, rhs)
+    coeffs = jax.scipy.linalg.cho_solve(cho, rhs)
+    # Near-expiry design matrices can be almost perfectly collinear (e.g. the
+    # s and s**2 columns one day out), and a float32 Cholesky may then produce
+    # NaNs.  Fall back to the zero fit (i.e. predict the column mean when the
+    # target is pre-centred) rather than letting NaNs poison the DP — the
+    # reference's float64 QR tolerates these steps, a silent NaN would not.
+    return jnp.where(jnp.isfinite(coeffs), coeffs, 0.0)
