@@ -704,6 +704,9 @@ _backward_program_jit = jax.jit(
         "spec", "interp_kind", "num_grid_points", "extra_decisions",
         "val_first", "terminal_fn",
     ),
+    # The regression path set is dead after this program: donating lets XLA
+    # reuse its GBs of HBM for scan workspace.
+    donate_argnums=(0, 1),
 )
 
 _forward_program_jit = jax.jit(
@@ -712,6 +715,7 @@ _forward_program_jit = jax.jit(
         "spec", "interp_kind", "num_grid_points", "extra_decisions",
         "val_first", "terminal_fn", "discount_deltas", "collect_panels",
     ),
+    donate_argnums=(0, 1),
 )
 
 
