@@ -26,6 +26,12 @@ from .valuation import (
     multi_factor_value,
     three_factor_seasonal_value,
 )
+from .engines.tree import (
+    TreeValuationResults,
+    intrinsic_tree_value,
+    trinomial_deltas,
+    trinomial_value,
+)
 from .utils.frequencies import SUPPORTED_FREQS
 from .utils.basis import parse_basis_functions
 
@@ -57,6 +63,10 @@ __all__ = [
     "multi_factor_value",
     "three_factor_seasonal_value",
     "create_3_factor_season_params",
+    "trinomial_value",
+    "trinomial_deltas",
+    "intrinsic_tree_value",
+    "TreeValuationResults",
     "InventoryConstraintsCannotBeFulfilledError",
     "StorageError",
     "ValuationCancelledError",

@@ -1,0 +1,291 @@
+"""Trinomial-tree storage valuation.
+
+Reference: ``TreeStorageValuation<T>.Calculate``
+(``TreeValuation/TreeStorageValuation.cs:143-342``) and the Python wrapper
+``trinomial_value`` / ``trinomial_deltas`` (``cmdty_storage/trinomial.py``).
+
+TPU formulation: the generic DP over a recombining tree becomes a ``lax.scan``
+over periods carrying the value function ``V [K, G]`` (price levels x
+inventory grid).  Per period: the expected continuation per CURRENT node is a
+probability-weighted gather over the three branch destinations (linear in V,
+so interchangeable with the reference's interpolate-then-weight order,
+``TreeStorageValuation.cs:322-330``), then the same fixed-width bang-bang
+decision kernel as the other engines, vectorised over (node, grid).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..compile import SettlementRule, ValuationContext, build_valuation_context
+from ..exceptions import InventoryConstraintsCannotBeFulfilledError
+from ..models.trinomial import TrinomialTree, build_intrinsic_tree, build_trinomial_tree
+from ..ops.interp import fractional_index
+from ..storage import CmdtyStorage
+from ..utils.discount import DiscountFn
+from ..utils.frequencies import PeriodLike, normalize_freq, to_period
+from .common import step_economics
+
+
+class TreeValuationResults(NamedTuple):
+    """NPV + the dense tree + per-period value functions.
+
+    Engine-level mirror of ``TreeStorageValuationResults<T>``
+    (``TreeValuation/TreeStorageValuationResults.cs``): NPV, the tree itself,
+    value-by-(level, inventory-grid) per period, and the inventory space.
+    """
+
+    npv: float
+    tree: TrinomialTree
+    values: np.ndarray  # [n+1, K, G] storage value per (period, level, grid pt)
+    grids: np.ndarray  # [n+1, G]
+    inv_space_min: np.ndarray  # [n+1]
+    inv_space_max: np.ndarray  # [n+1]
+
+
+@partial(jax.jit, static_argnames=("interp_kind", "num_grid_points", "extra_decisions"))
+def _tree_backward(
+    terminal_values,  # [K, G]
+    node_prices,  # [n, K] (decision steps)
+    branch_center,  # [n, K]
+    branch_probs,  # [n, K, 3]
+    grids,  # [n, G]
+    next_lo,  # [n]
+    next_hi,  # [n]
+    pillars,
+    loss,
+    inject_cost,
+    withdraw_cost,
+    cons_inject,
+    cons_withdraw,
+    inv_cost_rate,
+    df_settle,
+    df_start,
+    interp_kind: int,
+    num_grid_points: int,
+    extra_decisions: int,
+):
+    """Backward DP; returns values ``[n+1, K, G]`` (period-major)."""
+
+    def step(v_next, xs):
+        (prices_k, center_k, probs_k, grid_k, lo, hi, pil, lr, ic, wc, ci, cw, icr, dfs, df0) = xs
+        # Expected continuation per current node across its three destinations.
+        down = v_next[center_k - 1]  # [K, G] gather of rows
+        mid = v_next[center_k]
+        up = v_next[center_k + 1]
+        expected = (
+            probs_k[:, 0, None] * down + probs_k[:, 1, None] * mid + probs_k[:, 2, None] * up
+        )  # [K, G]
+
+        econ = step_economics(
+            grid_k, pil, interp_kind, lr, lo, hi,
+            ic, wc, ci, cw, icr, dfs, df0, extra_decisions,
+        )  # decisions [G, D]
+        j, w = fractional_index(econ.inventory_after, lo, hi, num_grid_points)  # [G, D]
+        # Interpolate expected continuation at post-decision inventories:
+        # expected [K, G'] gathered at [G, D] column indices -> [K, G, D].
+        cont = (
+            jnp.take(expected, j, axis=1) * (1.0 - w)[None]
+            + jnp.take(expected, j + 1, axis=1) * w[None]
+        )
+        immediate = (
+            econ.price_coeff[None, :, :] * prices_k[:, None, None]
+            - econ.cost_npv[None, :, :]
+        )  # [K, G, D]
+        v_k = jnp.max(immediate + cont, axis=-1)  # [K, G]
+        return v_k, v_k
+
+    xs = (
+        node_prices, branch_center, branch_probs, grids, next_lo, next_hi,
+        pillars, loss, inject_cost, withdraw_cost, cons_inject, cons_withdraw,
+        inv_cost_rate, df_settle, df_start,
+    )
+    _, values = jax.lax.scan(step, terminal_values, xs, reverse=True)
+    return jnp.concatenate([values, terminal_values[None]], axis=0)
+
+
+def tree_value(
+    ctx: ValuationContext,
+    tree: TrinomialTree,
+    extra_decisions: int = 0,
+    dtype=jnp.float32,
+) -> TreeValuationResults:
+    """Run the tree DP for a compiled valuation context."""
+    n = ctx.n_steps
+    G = ctx.num_grid_points
+    K = tree.num_levels
+    if tree.values.shape[0] != n + 1:
+        raise ValueError("Tree length must equal the number of active periods.")
+
+    grid_end = ctx.grids[n]
+    if ctx.storage.terminal_npv_fn is None:
+        terminal = np.zeros((K, G), dtype=np.float64)
+    else:
+        terminal = np.broadcast_to(
+            np.asarray(
+                ctx.storage.terminal_npv_fn(tree.values[n][:, None], grid_end[None, :]),
+                dtype=np.float64,
+            ),
+            (K, G),
+        )
+
+    # Pad branch arrays: decision steps are 0..n-1 and branch arrays have n-1
+    # rows (transitions between simulated periods); the tree's last decision
+    # step n-1 transitions INTO the end period so uses branch row n-1... the
+    # builder produces exactly n rows of transitions for n+1 periods.
+    values = _tree_backward(
+        jnp.asarray(terminal, dtype),
+        jnp.asarray(tree.values[:n], dtype),
+        jnp.asarray(tree.branch_center[:n]),
+        jnp.asarray(tree.branch_probs[:n], dtype),
+        jnp.asarray(ctx.grids[:n], dtype),
+        jnp.asarray(ctx.inv_space.min_inventory[1:], dtype),
+        jnp.asarray(ctx.inv_space.max_inventory[1:], dtype),
+        jnp.asarray(ctx.pillars, dtype),
+        jnp.asarray(ctx.inventory_loss, dtype),
+        jnp.asarray(ctx.inject_cost, dtype),
+        jnp.asarray(ctx.withdraw_cost, dtype),
+        jnp.asarray(ctx.cons_inject, dtype),
+        jnp.asarray(ctx.cons_withdraw, dtype),
+        jnp.asarray(ctx.inventory_cost_rate, dtype),
+        jnp.asarray(ctx.df_settle, dtype),
+        jnp.asarray(ctx.df_cost, dtype),
+        interp_kind=ctx.interp_kind,
+        num_grid_points=G,
+        extra_decisions=extra_decisions,
+    )
+    values_np = np.asarray(values, dtype=np.float64)
+
+    # NPV: probability-weighted roll-up at the first active period over its
+    # reachable nodes, at the starting inventory (grid[0] is degenerate at the
+    # starting inventory, so any column works) — reference :272-280.
+    npv = float(np.dot(tree.probs[0], values_np[0, :, 0]))
+    return TreeValuationResults(
+        npv=npv,
+        tree=tree,
+        values=values_np,
+        grids=ctx.grids,
+        inv_space_min=ctx.inv_space.min_inventory,
+        inv_space_max=ctx.inv_space.max_inventory,
+    )
+
+
+def trinomial_value(
+    cmdty_storage: CmdtyStorage,
+    val_date: PeriodLike,
+    inventory: float,
+    forward_curve: pd.Series,
+    spot_volatility: pd.Series,
+    mean_reversion: float,
+    time_step: float,
+    interest_rates: Union[None, float, pd.Series, DiscountFn],
+    settlement_rule: Optional[SettlementRule],
+    num_inventory_grid_points: int = 100,
+    numerical_tolerance: float = 1e-12,
+    extra_decisions: int = 0,
+    dtype=jnp.float32,
+) -> float:
+    """Storage value under a one-factor trinomial tree
+    (reference ``trinomial.py:36-85``)."""
+    freq = normalize_freq(cmdty_storage.freq)
+    if freq != normalize_freq(forward_curve.index.freqstr):
+        raise ValueError("cmdty_storage and forward_curve have different frequencies.")
+    if freq != normalize_freq(spot_volatility.index.freqstr):
+        raise ValueError("cmdty_storage and spot_volatility have different frequencies.")
+    val_period = to_period(val_date, freq)
+    if val_period > cmdty_storage.end:
+        return 0.0
+    if val_period == cmdty_storage.end:
+        if cmdty_storage.must_be_empty_at_end:
+            if inventory > 0:
+                raise InventoryConstraintsCannotBeFulfilledError(
+                    "Storage must be empty at end, but inventory is greater than zero."
+                )
+            return 0.0
+        return cmdty_storage.terminal_storage_npv(
+            float(forward_curve[val_period]), float(inventory)
+        )
+
+    ctx = build_valuation_context(
+        cmdty_storage, val_date, float(inventory), forward_curve, interest_rates,
+        settlement_rule, num_inventory_grid_points, numerical_tolerance,
+    )
+    vols = spot_volatility.reindex(ctx.periods)
+    if vols.isna().any():
+        raise ValueError("spot_volatility must cover all storage periods.")
+    tree = build_trinomial_tree(
+        ctx.fwd, vols.to_numpy(dtype=np.float64), mean_reversion, time_step
+    )
+    return tree_value(ctx, tree, extra_decisions, dtype).npv
+
+
+def intrinsic_tree_value(
+    cmdty_storage: CmdtyStorage,
+    val_date: PeriodLike,
+    inventory: float,
+    forward_curve: pd.Series,
+    interest_rates,
+    settlement_rule,
+    num_inventory_grid_points: int = 100,
+    numerical_tolerance: float = 1e-12,
+) -> float:
+    """Tree DP over the degenerate intrinsic (forward-path) tree —
+    reference ``WithIntrinsicTree`` (``TreeStorageValuationExtensions.cs:104-124``)."""
+    ctx = build_valuation_context(
+        cmdty_storage, val_date, float(inventory), forward_curve, interest_rates,
+        settlement_rule, num_inventory_grid_points, numerical_tolerance,
+    )
+    tree = build_intrinsic_tree(ctx.fwd)
+    return tree_value(ctx, tree).npv
+
+
+def trinomial_deltas(
+    cmdty_storage: CmdtyStorage,
+    val_date: PeriodLike,
+    inventory: float,
+    forward_curve: pd.Series,
+    spot_volatility: pd.Series,
+    mean_reversion: float,
+    time_step: float,
+    interest_rates,
+    settlement_rule,
+    fwd_contracts,
+    num_inventory_grid_points: int = 100,
+    numerical_tolerance: float = 1e-12,
+    delta_shift: float = 0.01,
+):
+    """Bump-and-revalue deltas per forward contract
+    (reference ``trinomial.py:88-118``).
+
+    ``delta_shift`` defaults to 0.01 rather than the reference's 1e-5
+    (``trinomial.py:100``): the DP here runs in float32, where a 1e-5 bump
+    sits below the NPV's floating-point resolution.
+    """
+    from ..utils.contracts import to_period_range
+
+    freq = normalize_freq(cmdty_storage.freq)
+    curve = forward_curve.copy()
+    deltas = []
+    for fwd_contract in fwd_contracts:
+        start, end = to_period_range(freq, fwd_contract)
+        base = forward_curve[start:end].copy()
+        curve[start:end] = base + delta_shift
+        up = trinomial_value(
+            cmdty_storage, val_date, inventory, curve, spot_volatility, mean_reversion,
+            time_step, interest_rates, settlement_rule, num_inventory_grid_points,
+            numerical_tolerance,
+        )
+        curve[start:end] = base - delta_shift
+        down = trinomial_value(
+            cmdty_storage, val_date, inventory, curve, spot_volatility, mean_reversion,
+            time_step, interest_rates, settlement_rule, num_inventory_grid_points,
+            numerical_tolerance,
+        )
+        deltas.append((up - down) / (2.0 * delta_shift))
+        curve[start:end] = base
+    return deltas

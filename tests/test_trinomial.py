@@ -1,0 +1,192 @@
+"""Trinomial tree engine tests.
+
+Oracles per SURVEY.md §4: README C# example NPV 24,809.48
+(``README.md:448-452``); intrinsic (degenerate) tree equals the intrinsic
+engine; deep-ITM deltas match intrinsic volumes (reference
+``test_trinomial.py:33-196``); tree matches LSMC on the same 1-factor
+dynamics; martingale calibration of the tree itself.
+"""
+import numpy as np
+import pandas as pd
+import pytest
+
+from storage_tpu import CmdtyStorage, intrinsic_value, multi_factor_value
+from storage_tpu.engines.tree import intrinsic_tree_value, trinomial_deltas, trinomial_value
+from storage_tpu.models.trinomial import build_trinomial_tree
+
+
+class TestTreeConstruction:
+    def test_martingale_calibration(self):
+        n = 60
+        forwards = 50.0 + 10.0 * np.sin(np.arange(n) / 5.0)
+        vols = 0.8 + 0.2 * np.sin(np.arange(n) / 7.0)
+        tree = build_trinomial_tree(forwards, vols, mean_reversion=8.0, time_delta=1 / 365.0)
+        expected = (tree.probs * tree.values).sum(axis=1)
+        np.testing.assert_allclose(expected, forwards, rtol=1e-10)
+
+    def test_probabilities_valid(self):
+        n = 60
+        forwards = np.full(n, 50.0)
+        vols = np.full(n, 0.9)
+        tree = build_trinomial_tree(forwards, vols, mean_reversion=5.5, time_delta=1 / 365.0)
+        assert (tree.branch_probs >= 0).all()
+        np.testing.assert_allclose(tree.branch_probs.sum(axis=-1), 1.0, atol=1e-12)
+        np.testing.assert_allclose(tree.probs.sum(axis=1), 1.0, atol=1e-9)
+
+    def test_terminal_log_variance_matches_ou(self):
+        # Unconditional variance of log price approx OU variance of the factor.
+        n = 200
+        a, sigma, dt = 5.0, 0.7, 1 / 365.0
+        forwards = np.full(n, 40.0)
+        vols = np.full(n, sigma)
+        tree = build_trinomial_tree(forwards, vols, a, dt)
+        t = (n - 1) * dt
+        expected_var = sigma**2 * (1 - np.exp(-2 * a * t)) / (2 * a)
+        logs = np.log(tree.values[-1])
+        mean = (tree.probs[-1] * logs).sum()
+        var = (tree.probs[-1] * (logs - mean) ** 2).sum()
+        assert var == pytest.approx(expected_var, rel=0.05)
+
+
+def readme_tree_storage():
+    """The README ratcheted storage (README.md:238-303)."""
+    return CmdtyStorage(
+        freq="D",
+        storage_start="2019-09-01",
+        storage_end="2019-10-01",
+        injection_cost=0.48,
+        withdrawal_cost=0.74,
+        ratchets=[
+            (
+                "2019-09-01",
+                [
+                    (0.0, -44.85, 56.8),
+                    (100.0, -45.01, 54.5),
+                    (300.0, -45.78, 52.01),
+                    (600.0, -46.17, 51.9),
+                    (800.0, -46.99, 50.8),
+                    (1000.0, -47.12, 50.01),
+                ],
+            ),
+            (
+                "2019-09-20",
+                [
+                    (0.0, -31.41, 48.33),
+                    (100.0, -31.85, 43.05),
+                    (300.0, -31.68, 41.22),
+                    (600.0, -32.78, 40.08),
+                    (800.0, -33.05, 39.74),
+                    (1000.0, -34.8, 38.51),
+                ],
+            ),
+        ],
+        ratchet_interp=RatchetInterpLinear(),
+    )
+
+
+def RatchetInterpLinear():
+    from storage_tpu import RatchetInterp
+
+    return RatchetInterp.LINEAR
+
+
+def readme_curves():
+    idx = pd.period_range("2019-09-15", "2019-10-01", freq="D")
+    low, spread = 56.6, 87.81
+    fwd = pd.Series(
+        np.where(idx < pd.Period("2019-09-23", "D"), low, low + spread), index=idx
+    )
+    vols = pd.Series(
+        [0.975, 0.97, 0.96, 0.91, 0.89, 0.895, 0.891, 0.89, 0.875, 0.872, 0.871,
+         0.870, 0.869, 0.868, 0.867, 0.866, 0.8655],
+        index=idx,
+    )
+    return fwd, vols
+
+
+class TestReadmeTrinomialOracle:
+    def test_npv_close_to_reference(self):
+        storage = readme_tree_storage()
+        fwd, vols = readme_curves()
+        npv = trinomial_value(
+            storage, "2019-09-15", 50.0, fwd, vols,
+            mean_reversion=5.5, time_step=1 / 365.0,
+            interest_rates=0.025,
+            settlement_rule=lambda p: pd.Period("2019-10-20", "D"),
+            num_inventory_grid_points=112,
+        )
+        # Reference prints 24,809.48 (README.md:448-452).  Tree geometry and
+        # grids differ by construction; agreement is to model tolerance.
+        assert npv == pytest.approx(24_809.48, rel=0.02)
+
+
+class TestTreeConsistency:
+    def _setup(self):
+        storage = CmdtyStorage(
+            "D", "2021-01-01", "2021-03-01",
+            injection_cost=0.3, withdrawal_cost=0.4,
+            min_inventory=0.0, max_inventory=2000.0,
+            max_injection_rate=60.0, max_withdrawal_rate=80.0,
+        )
+        idx = pd.period_range("2021-01-01", "2021-03-01", freq="D")
+        fwd = pd.Series(20.0 + 3.0 * np.sin(np.arange(len(idx)) / 8.0), index=idx)
+        vols = pd.Series(0.7, index=idx)
+        return storage, fwd, vols
+
+    def test_intrinsic_tree_equals_intrinsic_engine(self):
+        storage, fwd, _ = self._setup()
+        rates = pd.Series(0.03, index=pd.period_range("2021-01-01", "2021-06-01", freq="D"))
+        tree_npv = intrinsic_tree_value(storage, "2021-01-01", 800.0, fwd, rates, None)
+        intr = intrinsic_value(storage, "2021-01-01", 800.0, fwd, rates, None)
+        # f32 device DP vs the intrinsic engine's float64 host forward sweep.
+        assert tree_npv == pytest.approx(intr.npv, rel=5e-4)
+
+    def test_tiny_vol_tree_equals_intrinsic(self):
+        storage, fwd, _ = self._setup()
+        idx = fwd.index
+        vols = pd.Series(1e-6, index=idx)
+        tree_npv = trinomial_value(
+            storage, "2021-01-01", 800.0, fwd, vols, 5.0, 1 / 365.0, None, None
+        )
+        intr = intrinsic_value(storage, "2021-01-01", 800.0, fwd, None, None)
+        assert tree_npv == pytest.approx(intr.npv, rel=1e-3)
+
+    def test_tree_vs_lsmc_same_dynamics(self):
+        # Cross-model consistency (reference tolerance 0.5%,
+        # Lsmc/LsmcStorageValuationTest.cs:422-526).
+        storage, fwd, vols = self._setup()
+        a = 5.0
+        tree_npv = trinomial_value(
+            storage, "2021-01-01", 800.0, fwd, vols, a, 1 / 365.0, None, None,
+            num_inventory_grid_points=200,
+        )
+        lsmc = multi_factor_value(
+            storage, "2021-01-01", 800.0, fwd, None, None,
+            factors=[(a, vols)], factor_corrs=None,
+            num_sims=20_000, basis_funcs="1 + x0 + x0**2 + x0**3",
+            discount_deltas=False, seed=42, num_inventory_grid_points=200,
+            return_sim_panels=False,
+        )
+        assert lsmc.npv == pytest.approx(tree_npv, rel=0.01)
+        # LSMC is a lower bound of the true optimum; allow small MC slack.
+        assert lsmc.npv <= tree_npv * 1.005
+
+    def test_trinomial_deltas_deep_itm_matches_volumes(self):
+        # Deep in-the-money: deltas ~= net traded volumes (reference
+        # test_trinomial.py:deep-ITM delta ~ intrinsic delta).
+        storage = CmdtyStorage(
+            "D", "2021-01-01", "2021-01-15",
+            injection_cost=0.1, withdrawal_cost=0.1,
+            min_inventory=0.0, max_inventory=500.0,
+            max_injection_rate=50.0, max_withdrawal_rate=50.0,
+        )
+        idx = pd.period_range("2021-01-01", "2021-01-15", freq="D")
+        fwd = pd.Series(np.where(np.arange(len(idx)) < 7, 10.0, 40.0), index=idx)
+        vols = pd.Series(0.1, index=idx)
+        deltas = trinomial_deltas(
+            storage, "2021-01-01", 0.0, fwd, vols, 8.0, 1 / 365.0, None, None,
+            fwd_contracts=[pd.Period("2021-01-02", "D"), pd.Period("2021-01-09", "D")],
+        )
+        # Big spread, low vol: buy 50 on cheap days, sell 50 on expensive days.
+        assert deltas[0] == pytest.approx(-50.0, abs=1.5)
+        assert deltas[1] == pytest.approx(50.0, abs=1.5)
