@@ -56,10 +56,13 @@ spec = basis_spec(
     ),
     num_factors=3,
 )
+from storage_tpu.models.multi_factor import build_sim_coefficients as _b  # noqa
 arrays = run_lsmc(
     ctx,
-    (jnp.asarray(reg[0]), jnp.asarray(reg[1])),
-    (jnp.asarray(val[0]), jnp.asarray(val[1])),
+    jnp.asarray(reg[1]),
+    jnp.asarray(val[1]),
+    jnp.asarray(coeffs.vols, jnp.float32),
+    jnp.asarray(coeffs.log_fwd_drift, jnp.float32),
     spec,
     discount_deltas=True,
     collect_panels=False,

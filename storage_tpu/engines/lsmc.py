@@ -132,6 +132,21 @@ def device_inputs(ctx: ValuationContext, dtype) -> LsmcDeviceInputs:
 # --------------------------------------------------------------------------- #
 
 
+def spot_from_factors(factors_k, vols_k, drift_k):
+    """Spot prices from factor states: ``exp(drift + vols . Y)``.
+
+    Inverse of storing simulated spot panels — the spot is a deterministic
+    per-period transform of the Markov states (see
+    :mod:`storage_tpu.models.simulation`), so engines recompute it in-body
+    instead of carrying an extra ``[n, S]`` array.
+    """
+    log_spot = (
+        jnp.einsum("f,fs->s", vols_k, factors_k, precision=jax.lax.Precision.HIGHEST)
+        + drift_k
+    )
+    return jnp.exp(log_spot)
+
+
 def _backward_step_core(
     v_next,  # [S, G]
     spot,  # [S]
@@ -213,8 +228,9 @@ def _backward_step_core(
 )
 def backward_scan(
     v_init,  # [S, G] value at the period AFTER the last one in this chunk
-    spots,  # [m, S]
-    factors,  # [m, F, S]
+    factors,  # [m, F, S] Markov factor states
+    sim_vols,  # [m, F] spot vol loadings sigma_i(t_k)
+    sim_drift,  # [m] ln F(0,t_k) - V_k/2
     grids,  # [m, G] grid of each period in the chunk
     next_lo,  # [m]
     next_hi,  # [m]
@@ -236,7 +252,10 @@ def backward_scan(
     runs backwards.  Returns final carry + per-period regression data."""
 
     def step(v_next, xs):
-        (spot, f, grid, lo, hi, pil, lo_r, ic, wc, ci, cw, icr, dfs, df0) = xs
+        (f, vols, drift, grid, lo, hi, pil, lo_r, ic, wc, ci, cw, icr, dfs, df0) = xs
+        # Spot prices are a deterministic transform of the factor states:
+        # recomputing them in-body saves an [m, S] array and its HBM traffic.
+        spot = spot_from_factors(f, vols, drift)
         v_this, coeffs, mu, sd, vbar = _backward_step_core(
             v_next, spot, f, grid, lo, hi, pil, lo_r, ic, wc, ci, cw, icr, dfs, df0,
             spec=spec, interp_kind=interp_kind,
@@ -245,7 +264,7 @@ def backward_scan(
         return v_this, (coeffs, mu, sd, vbar)
 
     xs = (
-        spots, factors, grids, next_lo, next_hi, pillars, loss,
+        factors, sim_vols, sim_drift, grids, next_lo, next_hi, pillars, loss,
         inject_cost, withdraw_cost, cons_inject, cons_withdraw, inv_cost_rate,
         df_settle, df_start,
     )
@@ -404,8 +423,9 @@ def _forward_step_core(
 )
 def forward_scan(
     carry,
-    spots,  # [m, S]
     factors,  # [m, F, S]
+    sim_vols,  # [m, F]
+    sim_drift,  # [m]
     coeffs,  # [m, B, G]
     mus,  # [m, B]
     sds,  # [m, B]
@@ -430,7 +450,8 @@ def forward_scan(
     collect_panels: bool = True,
 ):
     def step(carry, xs):
-        (spot, f, cf, mu, sd, vbar, lo, hi, pil, lr, ic, wc, ci, cw, icr, dfs, df0, fp, dd) = xs
+        (f, vols, drift, cf, mu, sd, vbar, lo, hi, pil, lr, ic, wc, ci, cw, icr, dfs, df0, fp, dd) = xs
+        spot = spot_from_factors(f, vols, drift)
         X = design_matrix(spec, spot, f)
         cont = jnp.dot(
             (X - mu) / sd, cf, preferred_element_type=X.dtype,
@@ -443,9 +464,9 @@ def forward_scan(
         )
 
     xs = (
-        spots, factors, coeffs, mus, sds, vbars, next_lo, next_hi, pillars, loss,
-        inject_cost, withdraw_cost, cons_inject, cons_withdraw, inv_cost_rate,
-        df_settle, df_start, fwd, discount_for_deltas,
+        factors, sim_vols, sim_drift, coeffs, mus, sds, vbars, next_lo, next_hi,
+        pillars, loss, inject_cost, withdraw_cost, cons_inject, cons_withdraw,
+        inv_cost_rate, df_settle, df_start, fwd, discount_for_deltas,
     )
     return jax.lax.scan(step, carry, xs)
 
@@ -477,8 +498,9 @@ def _overflow_safe_spans(num_steps: int, num_sims: int, num_grid: int) -> List[T
     return _chunk_bounds(num_steps, num_chunks)
 
 def _backward_program(
-    reg_spots,  # [m, S] simulated periods only
-    reg_factors,  # [m, F, S]
+    reg_factors,  # [m, F, S] simulated periods only
+    sim_vols,  # [m, F]
+    sim_drift,  # [m]
     dev: LsmcDeviceInputs,
     spec: BasisSpec,
     interp_kind: int,
@@ -494,9 +516,9 @@ def _backward_program(
     (reference :171-181), else zeros (unused).
     """
     G = num_grid_points
-    num_sims = reg_spots.shape[-1]
-    dtype = reg_spots.dtype
-    n = reg_spots.shape[0] - 1 + (1 if val_first else 0)  # total decision steps
+    num_sims = reg_factors.shape[-1]
+    dtype = reg_factors.dtype
+    n = reg_factors.shape[0] - 1 + (1 if val_first else 0)  # total decision steps
 
     static = dict(
         spec=spec, interp_kind=interp_kind,
@@ -508,21 +530,23 @@ def _backward_program(
     if terminal_fn is None:
         v_end = jnp.zeros((num_sims, G), dtype=dtype)
     else:
+        end_spots = spot_from_factors(reg_factors[-1], sim_vols[-1], sim_drift[-1])
         v_end = jnp.asarray(
-            terminal_fn(reg_spots[-1][:, None], dev.grids[n][None, :]), dtype
+            terminal_fn(end_spots[:, None], dev.grids[n][None, :]), dtype
         )
         v_end = jnp.broadcast_to(v_end, (num_sims, G))
 
     first = 1 if val_first else 0
-    m = reg_spots.shape[0] - 1  # simulated decision steps
+    m = reg_factors.shape[0] - 1  # simulated decision steps
     v = v_end
     parts = []
     for a, b in reversed(_overflow_safe_spans(m, num_sims, G)):
         lo_k, hi_k = first + a, first + b
         v, coeffs_c, mus_c, sds_c, vbars_c = backward_scan(
             v,
-            reg_spots[a:b],
             reg_factors[a:b],
+            sim_vols[a:b],
+            sim_drift[a:b],
             dev.grids[lo_k:hi_k],
             dev.space_lo[lo_k + 1 : hi_k + 1],
             dev.space_hi[lo_k + 1 : hi_k + 1],
@@ -554,8 +578,9 @@ def _backward_program(
 
 
 def _forward_program(
-    val_spots,  # [m, S] simulated periods only
-    val_factors,  # [m, F, S]
+    val_factors,  # [m, F, S] simulated periods only
+    sim_vols,  # [m, F]
+    sim_drift,  # [m]
     cont_mean0,  # [G]
     coeffs,  # [m-?, B, G] per simulated decision step
     mus,
@@ -574,9 +599,9 @@ def _forward_program(
 ) -> LsmcArrays:
     """Forward policy simulation + result assembly as one XLA program."""
     G = num_grid_points
-    num_sims = val_spots.shape[-1]
-    dtype = val_spots.dtype
-    n = val_spots.shape[0] - 1 + (1 if val_first else 0)
+    num_sims = val_factors.shape[-1]
+    dtype = val_factors.dtype
+    n = val_factors.shape[0] - 1 + (1 if val_first else 0)
     first = 1 if val_first else 0
 
     static = dict(
@@ -607,13 +632,14 @@ def _forward_program(
         )
         out_parts.append(jax.tree.map(lambda x: x[None], outputs0))
 
-    m = val_spots.shape[0] - 1
+    m = val_factors.shape[0] - 1
     for a, b in _overflow_safe_spans(m, num_sims, G):
         lo_k, hi_k = first + a, first + b
         carry, outputs = forward_scan(
             carry,
-            val_spots[a:b],
             val_factors[a:b],
+            sim_vols[a:b],
+            sim_drift[a:b],
             coeffs[a:b],
             mus[a:b],
             sds[a:b],
@@ -636,8 +662,9 @@ def _forward_program(
         out_parts.append(outputs)
 
     stacked = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *out_parts)
+    end_spots = spot_from_factors(val_factors[-1], sim_vols[-1], sim_drift[-1])
     return _assemble_arrays(
-        stacked, carry, val_spots[-1], terminal_fn, backward_npv, dtype, collect_panels
+        stacked, carry, end_spots, terminal_fn, backward_npv, dtype, collect_panels
     )
 
 
@@ -706,7 +733,7 @@ _backward_program_jit = jax.jit(
     ),
     # The regression path set is dead after this program: donating lets XLA
     # reuse its GBs of HBM for scan workspace.
-    donate_argnums=(0, 1),
+    donate_argnums=(0,),
 )
 
 _forward_program_jit = jax.jit(
@@ -715,14 +742,16 @@ _forward_program_jit = jax.jit(
         "spec", "interp_kind", "num_grid_points", "extra_decisions",
         "val_first", "terminal_fn", "discount_deltas", "collect_panels",
     ),
-    donate_argnums=(0, 1),
+    donate_argnums=(0,),
 )
 
 
 def run_lsmc(
     ctx: ValuationContext,
-    reg_sims,  # callable () -> (spots [m, S], factors [m, F, S]) or tuple
-    val_sims,  # callable () -> (spots [m, S], factors [m, F, S]) or tuple
+    reg_sims,  # callable () -> factors [m, F, S], or the array itself
+    val_sims,  # callable () -> factors [m, F, S], or the array itself
+    sim_vols,  # [m, F] spot-vol loadings per simulated period
+    sim_drift,  # [m] ln F(0,t_k) - V_k/2 per simulated period
     spec: BasisSpec,
     discount_deltas: bool,
     extra_decisions: int = 0,
@@ -755,39 +784,43 @@ def run_lsmc(
         terminal_fn=ctx.storage.terminal_npv_fn,
     )
 
-    def shard(spots, factors):
+    def shard(factors):
         if mesh is None:
-            return spots, factors
+            return factors
         from ..parallel.mesh import shard_sims
 
-        return shard_sims(mesh, spots, 1), shard_sims(mesh, factors, 2)
+        return shard_sims(mesh, factors, 2)
+
+    sim_vols = jnp.asarray(sim_vols, dtype)
+    sim_drift = jnp.asarray(sim_drift, dtype)
 
     chunked = on_progress_update is not None or cancelled is not None
     if chunked:
         return _run_lsmc_chunked(
-            ctx, reg_sims, val_sims, dev, spec, discount_deltas, extra_decisions,
-            dtype, on_progress_update, cancelled, num_progress_chunks, mesh,
-            collect_panels,
+            ctx, reg_sims, val_sims, sim_vols, sim_drift, dev, spec, discount_deltas,
+            extra_decisions, dtype, on_progress_update, cancelled,
+            num_progress_chunks, mesh, collect_panels,
         )
 
-    reg_spots, reg_factors = shard(*(reg_sims() if callable(reg_sims) else reg_sims))
+    reg_factors = shard(reg_sims() if callable(reg_sims) else reg_sims)
     backward_npv, cont_mean0, coeffs, mus, sds, vbars = _backward_program_jit(
-        reg_spots, reg_factors, dev, **statics
+        reg_factors, sim_vols, sim_drift, dev, **statics
     )
     jax.block_until_ready(coeffs)
-    del reg_spots, reg_factors
+    del reg_factors
 
-    val_spots, val_factors = shard(*(val_sims() if callable(val_sims) else val_sims))
+    val_factors = shard(val_sims() if callable(val_sims) else val_sims)
     return _forward_program_jit(
-        val_spots, val_factors, cont_mean0, coeffs, mus, sds, vbars, dev, backward_npv,
+        val_factors, sim_vols, sim_drift, cont_mean0, coeffs, mus, sds, vbars, dev,
+        backward_npv,
         discount_deltas=discount_deltas, collect_panels=collect_panels, **statics
     )
 
 
 def _run_lsmc_chunked(
-    ctx, reg_sims, val_sims, dev, spec, discount_deltas, extra_decisions,
-    dtype, on_progress_update, cancelled, num_progress_chunks, mesh,
-    collect_panels,
+    ctx, reg_sims, val_sims, sim_vols, sim_drift, dev, spec, discount_deltas,
+    extra_decisions, dtype, on_progress_update, cancelled, num_progress_chunks,
+    mesh, collect_panels,
 ) -> LsmcArrays:
     """Chunked variant with host progress/cancellation between scan chunks."""
     n = ctx.n_steps
@@ -797,12 +830,12 @@ def _run_lsmc_chunked(
     val_first = ctx.val_date_is_first_step
     first = 1 if val_first else 0
 
-    def shard(spots, factors):
+    def shard(factors):
         if mesh is None:
-            return spots, factors
+            return factors
         from ..parallel.mesh import shard_sims
 
-        return shard_sims(mesh, spots, 1), shard_sims(mesh, factors, 2)
+        return shard_sims(mesh, factors, 2)
 
     def check_cancel():
         if cancelled is not None and cancelled():
@@ -812,14 +845,15 @@ def _run_lsmc_chunked(
         if on_progress_update is not None:
             on_progress_update(frac)
 
-    reg_spots, reg_factors = shard(*(reg_sims() if callable(reg_sims) else reg_sims))
-    num_sims = reg_spots.shape[-1]
+    reg_factors = shard(reg_sims() if callable(reg_sims) else reg_sims)
+    num_sims = reg_factors.shape[-1]
 
     if terminal_fn is None:
         v_end = jnp.zeros((num_sims, G), dtype=dtype)
     else:
+        end_spots = spot_from_factors(reg_factors[-1], sim_vols[-1], sim_drift[-1])
         v_end = jnp.asarray(
-            terminal_fn(reg_spots[-1][:, None], dev.grids[n][None, :]), dtype
+            terminal_fn(end_spots[:, None], dev.grids[n][None, :]), dtype
         )
         v_end = jnp.broadcast_to(v_end, (num_sims, G))
 
@@ -843,8 +877,9 @@ def _run_lsmc_chunked(
         hi_k = first + b
         v, coeffs_c, mu_c, sd_c, vbar_c = backward_scan(
             v,
-            reg_spots[a:b],
             reg_factors[a:b],
+            sim_vols[a:b],
+            sim_drift[a:b],
             dev.grids[lo_k:hi_k],
             dev.space_lo[lo_k + 1 : hi_k + 1],
             dev.space_hi[lo_k + 1 : hi_k + 1],
@@ -878,9 +913,9 @@ def _run_lsmc_chunked(
     else:
         cont_mean0 = jnp.zeros((G,), dtype)
         backward_npv = jnp.mean(v[:, 0])
-    del v, reg_spots, reg_factors
+    del v, reg_factors
 
-    val_spots, val_factors = shard(*(val_sims() if callable(val_sims) else val_sims))
+    val_factors = shard(val_sims() if callable(val_sims) else val_sims)
 
     dfd = dev.df_settle if discount_deltas else jnp.ones_like(dev.df_settle)
     inv0 = jnp.full((num_sims,), dev.inventory, dtype)
@@ -911,8 +946,9 @@ def _run_lsmc_chunked(
         hi_k = first + b
         carry, outputs = forward_scan(
             carry,
-            val_spots[a:b],
             val_factors[a:b],
+            sim_vols[a:b],
+            sim_drift[a:b],
             coeffs[a:b],
             mus[a:b],
             sds[a:b],
@@ -938,8 +974,9 @@ def _run_lsmc_chunked(
         report(BACKWARD_PCNT_TIME + (1.0 - BACKWARD_PCNT_TIME) * (i + 1) / total_fwd)
 
     stacked = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *out_parts)
+    end_spots = spot_from_factors(val_factors[-1], sim_vols[-1], sim_drift[-1])
     arrays = _assemble_arrays(
-        stacked, carry, val_spots[-1], terminal_fn, backward_npv, dtype, collect_panels
+        stacked, carry, end_spots, terminal_fn, backward_npv, dtype, collect_panels
     )
     report(1.0)
     return arrays

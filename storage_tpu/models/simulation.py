@@ -113,18 +113,19 @@ def sim_coefficients(
 
 
 @partial(jax.jit, static_argnames=("num_sims", "antithetic"))
-def _simulate_kernel(
+def _simulate_factor_kernel(
     key,
     decay,  # [n, F]
     chol,  # [n, F, F]
-    vols,  # [n, F]
-    log_fwd_drift,  # [n]
     num_sims: int,
     antithetic: bool,
 ):
-    """Device kernel: scan factor states over time, emit spots and factors.
+    """Device kernel: scan OU factor states over time.
 
-    Returns ``(spots [n, S], factors [n, F, S])``.
+    Returns ``factors [n, F, S]``.  Spot prices are a per-period deterministic
+    transform of the factors (``exp(drift_k + vols_k . Y_k)``) and are
+    recomputed where needed instead of stored — at production path counts the
+    spot panel alone is GBs of HBM.
     """
     n, num_factors = decay.shape
     dtype = decay.dtype
@@ -147,12 +148,39 @@ def _simulate_kernel(
 
     y0 = jnp.zeros((num_factors, num_sims), dtype=dtype)
     _, factors = jax.lax.scan(step, y0, (decay, chol, normals))  # [n, F, S]
+    return factors
 
+
+@jax.jit
+def spots_from_factor_paths(factors, vols, log_fwd_drift):
+    """Spot-price panel ``[n, S]`` from factor paths (deterministic transform)."""
     log_spots = (
         jnp.einsum("nf,nfs->ns", vols, factors, precision=jax.lax.Precision.HIGHEST)
         + log_fwd_drift[:, None]
     )
-    return jnp.exp(log_spots), factors
+    return jnp.exp(log_spots)
+
+
+def simulate_factor_paths(
+    coeffs: SimCoefficients,
+    num_sims: int,
+    seed: Optional[int],
+    antithetic: bool = False,
+    dtype=jnp.float32,
+    key: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Simulate Markov factor state paths ``[n, F, S]``."""
+    if key is None:
+        if seed is None:
+            seed = np.random.SeedSequence().entropy % (2**63)
+        key = jax.random.PRNGKey(int(seed))
+    return _simulate_factor_kernel(
+        key,
+        jnp.asarray(coeffs.decay, dtype),
+        jnp.asarray(coeffs.chol, dtype),
+        num_sims=int(num_sims),
+        antithetic=bool(antithetic),
+    )
 
 
 def simulate_spot_paths(
@@ -172,16 +200,8 @@ def simulate_spot_paths(
     Returns:
       spots ``[n, S]``, factors ``[n, F, S]`` on device.
     """
-    if key is None:
-        if seed is None:
-            seed = np.random.SeedSequence().entropy % (2**63)
-        key = jax.random.PRNGKey(int(seed))
-    return _simulate_kernel(
-        key,
-        jnp.asarray(coeffs.decay, dtype),
-        jnp.asarray(coeffs.chol, dtype),
-        jnp.asarray(coeffs.vols, dtype),
-        jnp.asarray(coeffs.log_fwd_drift, dtype),
-        num_sims=int(num_sims),
-        antithetic=bool(antithetic),
+    factors = simulate_factor_paths(coeffs, num_sims, seed, antithetic, dtype, key)
+    spots = spots_from_factor_paths(
+        factors, jnp.asarray(coeffs.vols, dtype), jnp.asarray(coeffs.log_fwd_drift, dtype)
     )
+    return spots, factors

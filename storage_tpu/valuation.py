@@ -29,7 +29,7 @@ from .models.multi_factor import (
     create_3_factor_season_params,
     validate_multi_factor_params,
 )
-from .models.simulation import simulate_spot_paths
+from .models.simulation import simulate_factor_paths, spots_from_factor_paths
 from .ops.regression import basis_spec
 from .storage import CmdtyStorage
 from .types import TriggerPricePoint, TriggerPriceProfile
@@ -248,29 +248,31 @@ def _multi_factor_calc(
     # regression set can be freed before the valuation set allocates
     # (reference simulates per phase too, LsmcStorageValuation.cs:100, :346).
     sims_cache = {}
+    sim_vols = jnp.asarray(coeffs.vols, dtype)
+    sim_drift = jnp.asarray(coeffs.log_fwd_drift, dtype)
 
     def make_reg():
         logger.info("Starting regression spot price simulation.")
         with stopwatches.time("RegressionPriceSimulation"):
-            spots, f = simulate_spot_paths(coeffs, num_sims, None, antithetic, dtype, key=reg_key)
+            f = simulate_factor_paths(coeffs, num_sims, None, antithetic, dtype, key=reg_key)
         logger.info("Spot regression price simulation complete.")
         if return_sim_panels:
-            sims_cache["reg"] = spots
-        return spots, f
+            sims_cache["reg"] = spots_from_factor_paths(f, sim_vols, sim_drift)
+        return f
 
     def make_val():
         logger.info("Starting valuation spot price simulation.")
         with stopwatches.time("ValuationPriceSimulation"):
-            spots, f = simulate_spot_paths(coeffs, num_sims, None, antithetic, dtype, key=val_key)
+            f = simulate_factor_paths(coeffs, num_sims, None, antithetic, dtype, key=val_key)
         logger.info("Valuation spot price simulation complete.")
         if return_sim_panels:
-            sims_cache["val"] = spots
-        return spots, f
+            sims_cache["val"] = spots_from_factor_paths(f, sim_vols, sim_drift)
+        return f
 
     logger.info("Calculating LSMC value.")
     stopwatches.start("BackwardInduction")
     arrays = run_lsmc(
-        ctx, make_reg, make_val, spec,
+        ctx, make_reg, make_val, sim_vols, sim_drift, spec,
         discount_deltas=discount_deltas,
         extra_decisions=int(extra_decisions or 0),
         dtype=dtype,
