@@ -83,6 +83,10 @@ def run(num_sims: int) -> dict:
     storage, fwd_curve, ir_curve, settlement_rule = build_case()
 
     def once(seed):
+        # The tunnel's remote-compile helper 500s on the single whole-horizon
+        # program at 1M-path shapes; the chunked driver (smaller programs with
+        # host checkpoints) compiles fine and measures the same computation.
+        progress_sink = (lambda p: None) if num_sims >= 1_000_000 else None
         return three_factor_seasonal_value(
             cmdty_storage=storage,
             val_date="2021-04-25",
@@ -101,6 +105,7 @@ def run(num_sims: int) -> dict:
             # Per-sim panels stay on device: at 1M paths they are ~8 GB and
             # must not transit the host link inside the timed region.
             return_sim_panels=False,
+            on_progress_update=progress_sink,
         )
 
     # Warm-up compiles all kernels for these static shapes.
