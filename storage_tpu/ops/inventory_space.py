@@ -179,8 +179,32 @@ def calculate_inventory_space(
     loss: np.ndarray,  # [n] fractional inventory loss per decision step
     starting_inventory: float,
     must_be_empty_at_end: bool,
+    use_native: bool = True,
 ) -> InventorySpace:
-    """Forward/backward reachability intersection (``StorageHelper.cs:39-107``)."""
+    """Forward/backward reachability intersection (``StorageHelper.cs:39-107``).
+
+    Dispatches to the native C++ kernel (``csrc/storage_host_ops.cpp``) when
+    available — the reduction is a long sequential pillar-walk, the one
+    host-side component worth native code at hourly horizons — and falls back
+    to this NumPy implementation otherwise.
+    """
+    if use_native:
+        from ..native import inventory_space_native
+
+        native_result = inventory_space_native(
+            [np.asarray(t, dtype=np.float64) for t in pillar_tables],
+            interp_kind,
+            np.asarray(min_inv, dtype=np.float64),
+            np.asarray(max_inv, dtype=np.float64),
+            np.asarray(loss, dtype=np.float64),
+            float(starting_inventory),
+            must_be_empty_at_end,
+        )
+        if native_result is not None:
+            return InventorySpace(
+                min_inventory=native_result[0], max_inventory=native_result[1]
+            )
+
     n = len(pillar_tables)
     if n + 1 != len(min_inv) or n + 1 != len(max_inv) or n != len(loss):
         raise ValueError("Inconsistent array lengths in calculate_inventory_space.")
