@@ -21,7 +21,7 @@ from typing import List, Sequence, Tuple
 import numpy as np
 
 from ..exceptions import InventoryConstraintsCannotBeFulfilledError
-from .ratchets import INTERP_LINEAR, INTERP_STEP, interp_rates_host
+from .ratchets import INTERP_LINEAR, INTERP_POLY, INTERP_STEP, interp_rates_host
 
 
 def _solve_linear(x1: float, y1: float, x2: float, y2: float, y: float) -> float:
@@ -37,6 +37,22 @@ def _is_constant_table(pillars: np.ndarray) -> bool:
     )
 
 
+def _poly_bound_roots(coefs: np.ndarray, loss: float, target: float,
+                      cur_min: float, cur_max: float) -> np.ndarray:
+    """Real roots of ``x (1 - loss) + poly(x) - target`` within the inventory
+    range.  The reference solves the same equation with bracketed
+    Newton-Raphson (``PolynomialInjectWithdrawConstraint.cs:87-153``); a direct
+    companion-matrix root solve is both exact and simpler here.
+    """
+    poly = np.array(coefs, dtype=np.float64)
+    poly[-1] -= target
+    poly[-2] += 1.0 - loss
+    roots = np.roots(poly)
+    tol = 1e-9 * max(1.0, abs(cur_max))
+    real = roots[np.abs(roots.imag) < 1e-8].real
+    return real[(real >= cur_min - tol) & (real <= cur_max + tol)]
+
+
 def upper_bound(
     pillars: np.ndarray,
     interp_kind: int,
@@ -47,6 +63,17 @@ def upper_bound(
     loss: float,
 ) -> float:
     """Max inventory this period from which next period's space is reachable."""
+    if interp_kind == INTERP_POLY:
+        min_at_max, max_at_max = interp_rates_host(pillars, cur_max, interp_kind)
+        if (cur_max * (1.0 - loss) + min_at_max <= next_hi
+                and next_lo <= cur_max * (1.0 - loss) + max_at_max):
+            return cur_max
+        candidates = _poly_bound_roots(pillars[:, 3], loss, next_hi, cur_min, cur_max)
+        if len(candidates) == 0:
+            raise InventoryConstraintsCannotBeFulfilledError(
+                "Storage inventory constraints cannot be satisfied."
+            )
+        return float(np.clip(candidates.max(), cur_min, cur_max))
     if _is_constant_table(pillars):
         # Reference ConstantInjectWithdrawConstraint.InventorySpaceUpperBound
         min_rate = float(pillars[0, 1])
@@ -110,6 +137,17 @@ def lower_bound(
     loss: float,
 ) -> float:
     """Min inventory this period from which next period's space is reachable."""
+    if interp_kind == INTERP_POLY:
+        min_at_min, max_at_min = interp_rates_host(pillars, cur_min, interp_kind)
+        if (cur_min * (1.0 - loss) + min_at_min <= next_hi
+                and next_lo <= cur_min * (1.0 - loss) + max_at_min):
+            return cur_min
+        candidates = _poly_bound_roots(pillars[:, 4], loss, next_lo, cur_min, cur_max)
+        if len(candidates) == 0:
+            raise InventoryConstraintsCannotBeFulfilledError(
+                "Storage inventory constraints cannot be satisfied."
+            )
+        return float(np.clip(candidates.min(), cur_min, cur_max))
     if _is_constant_table(pillars):
         max_rate = float(pillars[0, 2])
         solved = (next_lo - max_rate) / (1.0 - loss)
@@ -188,7 +226,7 @@ def calculate_inventory_space(
     host-side component worth native code at hourly horizons — and falls back
     to this NumPy implementation otherwise.
     """
-    if use_native:
+    if use_native and interp_kind in (INTERP_LINEAR, INTERP_STEP):
         from ..native import inventory_space_native
 
         native_result = inventory_space_native(

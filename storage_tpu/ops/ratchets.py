@@ -18,6 +18,7 @@ import numpy as np
 
 INTERP_LINEAR = 0  # piecewise-linear in inventory (reference PiecewiseLinear)
 INTERP_STEP = 1  # piecewise-constant, floor lookup (reference Step)
+INTERP_POLY = 2  # exact-fit polynomial (reference PolynomialInjectWithdrawConstraint)
 
 
 def interp_rates(pillars, inventory, interp_kind: int):
@@ -44,6 +45,16 @@ def interp_rates(pillars, inventory, interp_kind: int):
     pillar_min = pillars[:, 1]
     pillar_max = pillars[:, 2]
     num_pillars = pillar_inv.shape[0]
+
+    if interp_kind == INTERP_POLY:
+        # Columns 3/4 carry the exact-fit polynomial coefficients (highest
+        # power first, zero-padded): Horner evaluation, fully vectorised.
+        min_rate = jnp.zeros_like(inventory)
+        max_rate = jnp.zeros_like(inventory)
+        for p_idx in range(num_pillars):
+            min_rate = min_rate * inventory + pillars[p_idx, 3]
+            max_rate = max_rate * inventory + pillars[p_idx, 4]
+        return min_rate, max_rate
 
     # Index of the segment whose lower pillar is <= inventory.  P is small, so
     # a comparison-sum beats a searchsorted gather on the VPU.
@@ -75,6 +86,10 @@ def interp_rates_host(pillars: np.ndarray, inventory: float, interp_kind: int):
     host (reference call site ``LsmcStorageValuation.cs:88``).
     """
     inv = pillars[:, 0]
+    if interp_kind == INTERP_POLY:
+        cmin = pillars[:, 3]
+        cmax = pillars[:, 4]
+        return float(np.polyval(cmin, inventory)), float(np.polyval(cmax, inventory))
     if interp_kind == INTERP_STEP:
         idx = int(np.searchsorted(inv, inventory, side="right")) - 1
         idx = min(max(idx, 0), len(inv) - 1)
@@ -85,17 +100,29 @@ def interp_rates_host(pillars: np.ndarray, inventory: float, interp_kind: int):
 
 
 def pad_pillars(tables, num_pillars: int | None = None) -> np.ndarray:
-    """Stack per-step pillar tables ``[(P_k, 3)]`` into ``[n, P, 3]``.
+    """Stack per-step pillar tables ``[(P_k, C)]`` into ``[n, P, C]``.
 
-    Shorter tables are padded by repeating their last row, which is a no-op for
-    both interpolation modes and for the inventory-space bound solvers.
+    Columns are (inventory, min_rate, max_rate[, min_poly_coef, max_poly_coef]).
+    Shorter tables pad the first three columns by repeating the last row (a
+    no-op for rate lookup and bound solving) and any polynomial-coefficient
+    columns with zeros (a no-op for Horner evaluation, which is degree-ordered
+    highest first over the full padded height).
     """
-    arrays = [np.asarray(t, dtype=np.float64).reshape(-1, 3) for t in tables]
+    arrays = [np.asarray(t, dtype=np.float64) for t in tables]
+    ncols = arrays[0].shape[1]
     max_p = num_pillars or max(a.shape[0] for a in arrays)
-    out = np.empty((len(arrays), max_p, 3), dtype=np.float64)
+    out = np.zeros((len(arrays), max_p, ncols), dtype=np.float64)
     for k, a in enumerate(arrays):
         if a.shape[0] > max_p:
             raise ValueError("num_pillars smaller than a provided pillar table.")
-        out[k, : a.shape[0]] = a
-        out[k, a.shape[0]:] = a[-1]
+        pad = max_p - a.shape[0]
+        if ncols > 3 and pad:
+            # Keep Horner order: zero-pad the COEFFICIENT columns at the top
+            # (highest powers), repeat the last geometry row at the bottom.
+            out[k, pad:, :] = a
+            out[k, :pad, :3] = a[0, :3]
+        else:
+            out[k, : a.shape[0]] = a
+            if pad:
+                out[k, a.shape[0]:] = a[-1]
     return out

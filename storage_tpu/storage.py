@@ -17,7 +17,7 @@ from typing import Callable, Iterable, List, Optional, Sequence, Tuple, Union
 import numpy as np
 import pandas as pd
 
-from .ops.ratchets import INTERP_LINEAR, INTERP_STEP, pad_pillars
+from .ops.ratchets import INTERP_LINEAR, INTERP_POLY, INTERP_STEP, pad_pillars
 from .types import InjectWithdrawRange, RatchetInterp
 from .utils.frequencies import PeriodLike, normalize_freq, to_period
 
@@ -143,9 +143,11 @@ class CmdtyStorage:
                     "When ratchet_interp is RatchetInterp.STEP it is advisable to specify "
                     "terminal_storage_npv otherwise exceptions are likely to occur during valuation."
                 )
-            self._interp_kind = (
-                INTERP_LINEAR if ratchet_interp == RatchetInterp.LINEAR else INTERP_STEP
-            )
+            self._interp_kind = {
+                RatchetInterp.LINEAR: INTERP_LINEAR,
+                RatchetInterp.STEP: INTERP_STEP,
+                RatchetInterp.POLYNOMIAL: INTERP_POLY,
+            }[ratchet_interp]
             tables, min_inv_arr, max_inv_arr = self._compile_ratchets(
                 ratchets, periods, norm_freq, self._interp_kind
             )
@@ -290,6 +292,14 @@ class CmdtyStorage:
                         raise ValueError("Ratchet injection rates cannot increase with inventory.")
                     if table[i, 1] > table[i - 1, 1]:
                         raise ValueError("Ratchet withdrawal rates cannot decrease with inventory.")
+            if interp_kind == INTERP_POLY:
+                # Exact-fit polynomial through the ratchet points, order
+                # num_pillars - 1 (PolynomialInjectWithdrawConstraint.cs:46-79).
+                # Coefficients (highest power first) ride in columns 3/4.
+                deg = table.shape[0] - 1
+                cmin = np.polyfit(table[:, 0], table[:, 1], deg)
+                cmax = np.polyfit(table[:, 0], table[:, 2], deg)
+                table = np.column_stack([table, cmin, cmax])
             parsed.append((period, table))
         if not parsed:
             raise ValueError("No inject/withdraw constraints provided.")

@@ -17,10 +17,17 @@ class InjectWithdrawRange(NamedTuple):
 
 
 class RatchetInterp(enum.Enum):
-    """Ratchet-table interpolation mode (reference ``cmdty_storage.py:47-49``)."""
+    """Ratchet-table interpolation mode.
+
+    LINEAR and STEP mirror the reference Python wrapper
+    (``cmdty_storage.py:47-49``); POLYNOMIAL mirrors the C#-only
+    ``InterpolationType.Polynomial`` (``PolynomialInjectWithdrawConstraint.cs``,
+    exact-fit polynomial of order num_pillars - 1 through the ratchet points).
+    """
 
     LINEAR = 1
     STEP = 2
+    POLYNOMIAL = 3
 
 
 class TriggerPricePoint(NamedTuple):

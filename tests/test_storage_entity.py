@@ -253,3 +253,58 @@ class TestValidationMatrix:
             max_withdrawal_rate=5.0,
         )
         assert storage.num_decision_steps >= 1
+
+
+class TestPolynomialRatchets:
+    """Polynomial ratchet interpolation (reference C#-only
+    InterpolationType.Polynomial, PolynomialInjectWithdrawConstraint.cs)."""
+
+    def make(self):
+        return CmdtyStorage(
+            freq="D",
+            storage_start="2021-04-01",
+            storage_end="2021-06-01",
+            injection_cost=0.01,
+            withdrawal_cost=0.025,
+            ratchets=[
+                (
+                    "2021-04-01",
+                    [
+                        (0.0, -150.0, 250.0),
+                        (2000.0, -200.0, 175.0),
+                        (5000.0, -260.0, 155.0),
+                        (7000.0, -275.0, 132.0),
+                    ],
+                )
+            ],
+            ratchet_interp=RatchetInterp.POLYNOMIAL,
+            terminal_storage_npv=lambda p, i: 0.0,
+        )
+
+    def test_exact_fit_through_pillars(self):
+        storage = self.make()
+        for inv, min_r, max_r in [
+            (0.0, -150.0, 250.0),
+            (2000.0, -200.0, 175.0),
+            (5000.0, -260.0, 155.0),
+            (7000.0, -275.0, 132.0),
+        ]:
+            rng = storage.inject_withdraw_range("2021-05-01", inv)
+            assert rng.min_inject_withdraw_rate == pytest.approx(min_r, abs=1e-6)
+            assert rng.max_inject_withdraw_rate == pytest.approx(max_r, abs=1e-6)
+
+    def test_midpoint_differs_from_linear(self):
+        poly = self.make().inject_withdraw_range("2021-05-01", 1000.0)
+        # Cubic through the four points is not the chord at the midpoint.
+        assert poly.max_inject_withdraw_rate != pytest.approx(212.5, abs=1e-3)
+
+    def test_intrinsic_valuation_runs_with_polynomial_ratchets(self):
+        import storage_tpu
+
+        idx = pd.period_range("2021-04-01", "2021-06-01", freq="D")
+        fwd = pd.Series(15.0 + 2.0 * np.sin(np.arange(len(idx)) / 5.0), index=idx)
+        results = storage_tpu.intrinsic_value(
+            self.make(), "2021-04-01", 1500.0, fwd, None, None
+        )
+        assert np.isfinite(results.npv)
+        assert results.npv > 0
