@@ -1060,3 +1060,100 @@ def _current_period_step(v_next, dev, interp_kind, num_grid_points, extra_decisi
     ) * w_b  # [S]
     v0 = immediate[0, best] + actual
     return v0, cont_mean
+
+
+# --------------------------------------------------------------------------- #
+# Policy capture / repricing                                                  #
+# --------------------------------------------------------------------------- #
+
+
+class LsmcPolicy(NamedTuple):
+    """A fitted exercise policy: everything the forward pass needs.
+
+    The reference retains regression coefficients from the backward pass and
+    reuses them in the forward pass within one calculation
+    (``LsmcStorageValuation.cs:156, 206, 350, 394``); SURVEY.md §5 flags
+    exposing this as the checkpoint/resume analogue.  A policy can be saved
+    (``save``) and repriced against fresh path sets without re-running the
+    backward induction — e.g. intraday re-pricing or standalone scenario runs.
+    """
+
+    coeffs: jax.Array  # [m, B, G]
+    mus: jax.Array  # [m, B]
+    sds: jax.Array  # [m, B]
+    vbars: jax.Array  # [m, G]
+    cont_mean0: jax.Array  # [G]
+    backward_npv: jax.Array  # scalar
+
+    def save(self, path: str) -> None:
+        np.savez(
+            path,
+            **{f: np.asarray(getattr(self, f)) for f in self._fields},
+        )
+
+    @classmethod
+    def load(cls, path: str, dtype=jnp.float32) -> "LsmcPolicy":
+        data = np.load(path)
+        return cls(**{f: jnp.asarray(data[f], dtype) for f in cls._fields})
+
+
+def fit_policy(
+    ctx: ValuationContext,
+    reg_factors: jax.Array,  # [m, F, S]
+    sim_vols,
+    sim_drift,
+    spec: BasisSpec,
+    extra_decisions: int = 0,
+    dtype=jnp.float32,
+) -> LsmcPolicy:
+    """Run only the backward induction and capture the fitted policy."""
+    dev = device_inputs(ctx, dtype)
+    backward_npv, cont_mean0, coeffs, mus, sds, vbars = _backward_program_jit(
+        jnp.asarray(reg_factors, dtype),
+        jnp.asarray(sim_vols, dtype),
+        jnp.asarray(sim_drift, dtype),
+        dev,
+        spec=spec,
+        interp_kind=ctx.interp_kind,
+        num_grid_points=ctx.num_grid_points,
+        extra_decisions=extra_decisions,
+        val_first=ctx.val_date_is_first_step,
+        terminal_fn=ctx.storage.terminal_npv_fn,
+    )
+    return LsmcPolicy(coeffs, mus, sds, vbars, cont_mean0, backward_npv)
+
+
+def reprice(
+    ctx: ValuationContext,
+    policy: LsmcPolicy,
+    val_factors: jax.Array,  # [m, F, S]
+    sim_vols,
+    sim_drift,
+    spec: BasisSpec,
+    discount_deltas: bool = False,
+    extra_decisions: int = 0,
+    dtype=jnp.float32,
+    collect_panels: bool = False,
+) -> LsmcArrays:
+    """Forward-simulate a previously fitted policy on a fresh path set."""
+    dev = device_inputs(ctx, dtype)
+    return _forward_program_jit(
+        jnp.asarray(val_factors, dtype),
+        jnp.asarray(sim_vols, dtype),
+        jnp.asarray(sim_drift, dtype),
+        policy.cont_mean0,
+        policy.coeffs,
+        policy.mus,
+        policy.sds,
+        policy.vbars,
+        dev,
+        policy.backward_npv,
+        spec=spec,
+        interp_kind=ctx.interp_kind,
+        num_grid_points=ctx.num_grid_points,
+        extra_decisions=extra_decisions,
+        val_first=ctx.val_date_is_first_step,
+        terminal_fn=ctx.storage.terminal_npv_fn,
+        discount_deltas=discount_deltas,
+        collect_panels=collect_panels,
+    )

@@ -289,3 +289,106 @@ def trinomial_deltas(
         deltas.append((up - down) / (2.0 * delta_shift))
         curve[start:end] = base
     return deltas
+
+
+class TreeSimulationResults(NamedTuple):
+    """Replay results (reference ``TreeSimulationResults.cs``)."""
+
+    npv: float
+    decision_profile: pd.Series
+    cmdty_consumed: pd.Series
+
+
+def simulate_decisions(
+    ctx: ValuationContext,
+    valuation: TreeValuationResults,
+    transition_path,
+    extra_decisions: int = 0,
+) -> TreeSimulationResults:
+    """Replay the optimal policy along a user-supplied path of transition
+    indices (0=down, 1=mid, 2=up per step).
+
+    Reference: ``TreeStorageValuation.SimulateDecisions`` /
+    ``DecisionSimulator`` (``TreeStorageValuation.cs:344-433``): at each period
+    the optimal decision is re-derived against the next period's value
+    functions at the realised node, then the tree is advanced along the given
+    transition index.
+    """
+    from ..ops.decisions import bang_bang_decision_set, max_value_and_index
+    from ..ops.ratchets import interp_rates_host
+
+    tree = valuation.tree
+    n = ctx.n_steps
+    transition_path = list(transition_path)
+    if len(transition_path) < n:
+        raise ValueError(f"transition_path must supply at least {n} transition indices.")
+
+    level = int(np.argmax(tree.probs[0]))  # root: the only level with mass
+    inventory = ctx.inventory
+    start_offset = (ctx.periods[0] - ctx.storage.start).n
+    npv = 0.0
+    decisions_out = np.zeros(n)
+    consumed_out = np.zeros(n)
+
+    for k in range(n):
+        price = float(tree.values[k, level])
+        pillars = ctx.storage.pillar_tables[start_offset + k]
+        min_rate, max_rate = interp_rates_host(pillars, inventory, ctx.interp_kind)
+        loss = float(ctx.inventory_loss[k]) * inventory
+        decision_set = bang_bang_decision_set(
+            min_rate, max_rate, inventory, loss,
+            float(ctx.inv_space.min_inventory[k + 1]),
+            float(ctx.inv_space.max_inventory[k + 1]),
+            ctx.numerical_tolerance, extra_decisions,
+        )
+        grid_next = valuation.grids[k + 1]
+        center = int(tree.branch_center[k, level]) if tree.branch_center.shape[0] > k else 0
+        probs = tree.branch_probs[k, level] if tree.branch_probs.shape[0] > k else np.array([0.0, 1.0, 0.0])
+        totals = np.empty(len(decision_set))
+        imm = np.empty(len(decision_set))
+        consumed_arr = np.empty(len(decision_set))
+        for d_idx, d in enumerate(decision_set):
+            q_after = inventory + d - loss
+            cont = 0.0
+            for off, p_col in ((-1, 0), (0, 1), (1, 2)):
+                dest = min(max(center + off, 0), valuation.values.shape[1] - 1)
+                cont += float(probs[p_col]) * float(
+                    np.interp(q_after, grid_next, valuation.values[k + 1, dest])
+                )
+            consumed = (
+                float(ctx.cons_inject[k]) * abs(d) if d > 0 else float(ctx.cons_withdraw[k]) * abs(d)
+            )
+            cost = (
+                float(ctx.inject_cost[k]) * abs(d) if d > 0 else float(ctx.withdraw_cost[k]) * abs(d)
+            )
+            inv_cost = float(ctx.inventory_cost_rate[k]) * inventory
+            immediate = (
+                -(d + consumed) * price * float(ctx.df_settle[k])
+                - (cost + inv_cost) * float(ctx.df_cost[k])
+            )
+            totals[d_idx] = immediate + cont
+            imm[d_idx] = immediate
+            consumed_arr[d_idx] = consumed
+        _, best = max_value_and_index(totals)
+        d_opt = float(decision_set[best])
+        npv += imm[best]
+        decisions_out[k] = d_opt
+        consumed_out[k] = consumed_arr[best]
+        inventory = inventory + d_opt - loss
+        # Advance the tree along the supplied transition.
+        t_idx = int(transition_path[k])
+        if t_idx not in (0, 1, 2):
+            raise ValueError("Transition indices must be 0 (down), 1 (mid) or 2 (up).")
+        if k < tree.branch_center.shape[0]:
+            level = int(np.clip(tree.branch_center[k, level] + (t_idx - 1), 0,
+                                tree.values.shape[1] - 1))
+
+    if not ctx.storage.must_be_empty_at_end:
+        npv += ctx.storage.terminal_storage_npv(float(tree.values[n, level]), inventory)
+
+    index = ctx.periods[:-1]
+    return TreeSimulationResults(
+        npv=float(npv),
+        decision_profile=pd.Series(decisions_out, index=index),
+        cmdty_consumed=pd.Series(consumed_out, index=index),
+    )

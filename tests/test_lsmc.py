@@ -361,3 +361,51 @@ class TestTriggerPriceProperties:
         assert results.trigger_profiles.iloc[0].withdraw_triggers == []
         # Inject side exists at empty inventory.
         assert not np.isnan(first["inject_trigger_price"])
+
+
+class TestPolicyReprice:
+    """Fit-once / reprice-many (the checkpoint-resume analogue, SURVEY.md §5)."""
+
+    def test_reprice_matches_full_run_and_roundtrips_disk(self, tmp_path):
+        import jax.numpy as jnp
+
+        from storage_tpu.compile import build_valuation_context
+        from storage_tpu.engines.lsmc import LsmcPolicy, fit_policy, reprice
+        from storage_tpu.models.multi_factor import build_sim_coefficients
+        from storage_tpu.models.simulation import simulate_factor_paths
+        from storage_tpu.ops.regression import basis_spec
+        from storage_tpu.utils.basis import parse_basis_functions
+
+        storage = CmdtyStorage(
+            "D", "2021-01-01", "2021-02-01",
+            injection_cost=0.3, withdrawal_cost=0.4,
+            min_inventory=0.0, max_inventory=500.0,
+            max_injection_rate=50.0, max_withdrawal_rate=50.0,
+        )
+        idx = pd.period_range("2021-01-01", "2021-02-01", freq="D")
+        fwd = pd.Series(20.0 + 3.0 * np.sin(np.arange(len(idx)) / 4.0), index=idx)
+        vol = pd.Series(0.6, index=idx)
+        ctx = build_valuation_context(storage, "2021-01-01", 100.0, fwd, None, None)
+        sim_periods = list(ctx.periods[1:])
+        coeffs = build_sim_coefficients(
+            [(3.0, vol)], np.eye(1), ctx.val_period, fwd, sim_periods
+        )
+        spec = basis_spec(parse_basis_functions("1 + x0 + x0**2"), 1)
+        sim_vols = jnp.asarray(coeffs.vols, jnp.float32)
+        sim_drift = jnp.asarray(coeffs.log_fwd_drift, jnp.float32)
+
+        reg = simulate_factor_paths(coeffs, 2000, seed=1)
+        val_a = simulate_factor_paths(coeffs, 2000, seed=2)
+        val_b = simulate_factor_paths(coeffs, 2000, seed=3)
+
+        policy = fit_policy(ctx, reg, sim_vols, sim_drift, spec)
+        res_a = reprice(ctx, policy, val_a, sim_vols, sim_drift, spec)
+        res_b = reprice(ctx, policy, val_b, sim_vols, sim_drift, spec)
+        # Same policy, independent path sets: NPVs agree to MC error.
+        assert float(res_a.npv) == pytest.approx(float(res_b.npv), rel=0.05)
+
+        # Disk round-trip reprices identically.
+        path = str(tmp_path / "policy.npz")
+        policy.save(path)
+        res_a2 = reprice(ctx, LsmcPolicy.load(path), val_a, sim_vols, sim_drift, spec)
+        assert float(res_a2.npv) == pytest.approx(float(res_a.npv), rel=1e-6)

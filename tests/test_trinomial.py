@@ -190,3 +190,49 @@ class TestTreeConsistency:
         # Big spread, low vol: buy 50 on cheap days, sell 50 on expensive days.
         assert deltas[0] == pytest.approx(-50.0, abs=1.5)
         assert deltas[1] == pytest.approx(50.0, abs=1.5)
+
+
+class TestDecisionSimulator:
+    """Replay of the optimal policy along a transition-index path
+    (reference TreeStorageValuation.cs:344-433)."""
+
+    def test_intrinsic_tree_replay_matches_intrinsic_plan(self):
+        from storage_tpu.compile import build_valuation_context
+        from storage_tpu.engines.tree import simulate_decisions, tree_value
+        from storage_tpu.models.trinomial import build_intrinsic_tree
+
+        storage = CmdtyStorage(
+            "D", "2021-01-01", "2021-01-15",
+            injection_cost=0.1, withdrawal_cost=0.1,
+            min_inventory=0.0, max_inventory=500.0,
+            max_injection_rate=50.0, max_withdrawal_rate=50.0,
+        )
+        idx = pd.period_range("2021-01-01", "2021-01-15", freq="D")
+        fwd = pd.Series(np.where(np.arange(len(idx)) < 7, 10.0, 40.0), index=idx)
+        rates = pd.Series(0.05, index=pd.period_range("2021-01-01", "2021-06-01", freq="D"))
+        ctx = build_valuation_context(storage, "2021-01-01", 0.0, fwd, rates, None)
+        valuation = tree_value(ctx, build_intrinsic_tree(ctx.fwd))
+        sim = simulate_decisions(ctx, valuation, [1] * ctx.n_steps)
+        # Degenerate tree: replay along the only path == the intrinsic plan.
+        intr = intrinsic_value(storage, "2021-01-01", 0.0, fwd, rates, None)
+        assert sim.npv == pytest.approx(intr.npv, rel=5e-4)
+        np.testing.assert_allclose(
+            sim.decision_profile.to_numpy(),
+            intr.profile["inject_withdraw_volume"].to_numpy()[:-1],
+            atol=1e-3,
+        )
+
+    def test_stochastic_tree_replay_paths_differ(self):
+        from storage_tpu.compile import build_valuation_context
+        from storage_tpu.engines.tree import simulate_decisions, tree_value
+        from storage_tpu.models.trinomial import build_trinomial_tree
+
+        storage, fwd, vols = TestTreeConsistency()._setup()
+        ctx = build_valuation_context(storage, "2021-01-01", 800.0, fwd, None, None)
+        tree = build_trinomial_tree(ctx.fwd, vols.reindex(ctx.periods).to_numpy(), 5.0, 1 / 365.0)
+        valuation = tree_value(ctx, tree)
+        up = simulate_decisions(ctx, valuation, [2] * ctx.n_steps)
+        down = simulate_decisions(ctx, valuation, [0] * ctx.n_steps)
+        # Prices diverge, so realised values and plans must differ.
+        assert up.npv != pytest.approx(down.npv, rel=1e-3)
+        assert np.isfinite(up.npv) and np.isfinite(down.npv)
