@@ -859,9 +859,17 @@ def run_lsmc(
         reg_factors, sim_vols, sim_drift, dev, **statics
     )
     jax.block_until_ready(coeffs)
+    num_sims = reg_factors.shape[-1]
     del reg_factors
 
     val_factors = shard(val_sims() if callable(val_sims) else val_sims)
+    block = _pallas_forward_eligible(ctx, extra_decisions, mesh, collect_panels, num_sims)
+    if block is not None:
+        return _forward_program_pallas(
+            val_factors, sim_vols, sim_drift, cont_mean0, coeffs, mus, sds, vbars,
+            dev, backward_npv,
+            discount_deltas=discount_deltas, block_sims=block, **statics
+        )
     return _forward_program_jit(
         val_factors, sim_vols, sim_drift, cont_mean0, coeffs, mus, sds, vbars, dev,
         backward_npv,
@@ -1157,3 +1165,157 @@ def reprice(
         discount_deltas=discount_deltas,
         collect_panels=collect_panels,
     )
+
+
+# --------------------------------------------------------------------------- #
+# Fused-Pallas forward driver                                                 #
+# --------------------------------------------------------------------------- #
+
+
+def _pick_pallas_block(num_sims: int, max_block: int = 1024) -> Optional[int]:
+    """Lane-aligned block size (the kernel pads the sims axis as needed)."""
+    return min(max_block, max(128, -(-num_sims // 128) * 128 if num_sims < 512 else 512))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "interp_kind", "num_grid_points", "extra_decisions"),
+)
+def _step0_single_sim(
+    cont_mean0, dev: LsmcDeviceInputs, dfd0,
+    spec: BasisSpec, interp_kind: int, num_grid_points: int, extra_decisions: int,
+):
+    """Deterministic current-period forward step on ONE representative sim.
+
+    At the valuation date the price is the forward and the continuation is the
+    sim-average, so every simulation takes the same decision — one sim
+    suffices and its outputs are exact (reference :382-413).
+    """
+    carry = (jnp.reshape(dev.inventory, (1,)), jnp.zeros((1,), cont_mean0.dtype))
+    cont0 = dense_continuation(cont_mean0[None, :])
+    spot0 = jnp.reshape(dev.fwd[0], (1,))
+    (inv1, pv1), outputs0 = _forward_step_core(
+        carry, spot0, cont0,
+        dev.space_lo[1], dev.space_hi[1],
+        dev.pillars[0], dev.loss[0],
+        dev.inject_cost[0], dev.withdraw_cost[0],
+        dev.cons_inject[0], dev.cons_withdraw[0],
+        dev.inv_cost_rate[0], dev.df_settle[0], dev.df_start[0],
+        dev.fwd[0], dfd0,
+        interp_kind=interp_kind, num_grid_points=num_grid_points,
+        extra_decisions=extra_decisions, collect_panels=False,
+    )
+    return inv1[0], pv1[0], outputs0
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "interp_kind", "num_grid_points", "extra_decisions",
+                     "val_first", "terminal_fn", "discount_deltas", "block_sims"),
+)
+def _forward_program_pallas(
+    val_factors,  # [m_rows, F, S] simulated periods (incl. end row)
+    sim_vols,
+    sim_drift,
+    cont_mean0,
+    coeffs,
+    mus,
+    sds,
+    vbars,
+    dev: LsmcDeviceInputs,
+    backward_npv,
+    spec: BasisSpec,
+    interp_kind: int,
+    num_grid_points: int,
+    extra_decisions: int,
+    val_first: bool,
+    terminal_fn,
+    discount_deltas: bool,
+    block_sims: int,
+) -> LsmcArrays:
+    """Forward pass via the fused Pallas kernel (collect_panels=False path)."""
+    from ..ops.pallas_forward import pack_scalars, pallas_forward_sim
+
+    G = num_grid_points
+    num_sims = val_factors.shape[-1]
+    dtype = val_factors.dtype
+    n = val_factors.shape[0] - 1 + (1 if val_first else 0)
+    first = 1 if val_first else 0
+    m = val_factors.shape[0] - 1
+
+    dfd = dev.df_settle if discount_deltas else jnp.ones_like(dev.df_settle)
+
+    if val_first:
+        inv0, pv0, outputs0 = _step0_single_sim(
+            cont_mean0, dev, dfd[0],
+            spec=spec, interp_kind=interp_kind, num_grid_points=G,
+            extra_decisions=extra_decisions,
+        )
+    else:
+        inv0 = dev.inventory
+        pv0 = jnp.zeros((), dtype)
+        outputs0 = None
+
+    tables = jnp.concatenate([coeffs, vbars[:, None, :]], axis=1)  # [m, B+1, G]
+    scalars = pack_scalars(
+        dev.space_lo[first + 1 : n + 1], dev.space_hi[first + 1 : n + 1],
+        dev.loss[first:n], dev.inject_cost[first:n], dev.withdraw_cost[first:n],
+        dev.cons_inject[first:n], dev.cons_withdraw[first:n],
+        dev.inv_cost_rate[first:n], dev.df_settle[first:n], dev.df_start[first:n],
+        sim_drift[:m], sim_vols[:m],
+    )
+    sums, xsums, inv_final, pv_final = pallas_forward_sim(
+        val_factors[:m], inv0, tables, mus, sds, dev.pillars[first:n], scalars,
+        spec=spec, interp_kind=interp_kind, num_grid=G, block_sims=block_sims,
+    )
+
+    # Per-step means / deltas from the reduced partial sums.
+    means_rows = sums[:, :6] / num_sims  # PANEL_FIELDS order
+    deltas_rows = sums[:, 6] / num_sims / dev.fwd[first:n] * dfd[first:n]
+
+    # Trigger prices: sim-mean continuation per step from design-row sums.
+    mean_xn1 = xsums / num_sims  # [m, B+1]
+    mean_cont = jnp.einsum(
+        "mb,mbg->mg", mean_xn1, tables, precision=jax.lax.Precision.HIGHEST
+    )  # [m, G]
+    expected_inv = sums[:, 0] / num_sims
+
+    trig = jax.vmap(
+        _trigger_calc,
+        in_axes=(0, 0, 0, None, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, None),
+    )(
+        mean_cont, expected_inv, dev.pillars[first:n], interp_kind,
+        dev.loss[first:n], dev.space_lo[first + 1 : n + 1],
+        dev.space_hi[first + 1 : n + 1], dev.inject_cost[first:n],
+        dev.withdraw_cost[first:n], dev.cons_inject[first:n],
+        dev.cons_withdraw[first:n], dev.inv_cost_rate[first:n],
+        dev.df_settle[first:n], dev.df_start[first:n], G, extra_decisions,
+    )
+
+    rows_empty = jnp.zeros((m, 6, 0), dtype)
+    stacked = (means_rows, deltas_rows, rows_empty) + trig
+    if val_first:
+        outputs0 = jax.tree.map(lambda x: x[None], outputs0)
+        stacked = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), outputs0, stacked
+        )
+
+    pv_by_sim_base = pv_final + pv0
+    carry = (inv_final, pv_by_sim_base)
+    end_spots = spot_from_factors(val_factors[-1], sim_vols[-1], sim_drift[-1])
+    return _assemble_arrays(
+        stacked, carry, end_spots, terminal_fn, backward_npv, dtype,
+        collect_panels=False,
+    )
+
+
+def _pallas_forward_eligible(ctx, extra_decisions, mesh, collect_panels, num_sims):
+    if collect_panels or mesh is not None or extra_decisions:
+        return None
+    if jax.default_backend() != "tpu":
+        return None
+    from ..ops.ratchets import INTERP_LINEAR, INTERP_STEP
+
+    if ctx.interp_kind not in (INTERP_LINEAR, INTERP_STEP):
+        return None
+    return _pick_pallas_block(num_sims)

@@ -1,0 +1,325 @@
+"""Fused Pallas forward-simulation kernel.
+
+The LSMC forward pass is the hot loop after all XLA-level optimisation: per
+period it builds a design row, evaluates the fitted continuation at three
+per-sim query points, picks the bang-bang argmax and advances per-sim
+inventory (reference ``LsmcStorageValuation.cs:374-490``).  Under XLA this
+costs ~46 ms/step at 500k paths — dominated by small-table gathers and
+intermediate HBM round-trips, not bandwidth.
+
+This kernel runs the ENTIRE horizon for a block of simulations inside VMEM:
+
+- grid over simulation blocks; each block DMAs its ``[n, F, bS]`` factor
+  paths once and loops the n periods with ``fori_loop``;
+- the continuation surface for the block is one MXU matmul
+  ``Xn1 [bS, B+1] x table_k [B+1, G]`` per period, kept in VMEM;
+- per-decision interpolation is an iota-mask weighted row-sum (no gathers);
+- outputs are per-(block, period) partial sums (inventory, volumes, pv,
+  delta numerators, design-row sums for the trigger pass) plus the final
+  per-sim inventory/PV — a few KB per block instead of [S, G] matrices.
+
+Per-period means, deltas and trigger prices are reduced/recomputed by the
+caller from the partial sums (:func:`storage_tpu.engines.lsmc` wires it in
+when ``collect_panels=False``, ``extra_decisions=0`` and no mesh is used).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .regression import BasisSpec
+
+# Packed per-step scalar layout (column indices into scalars[n, :]).
+_SC_LO = 0  # next-step inventory-space min
+_SC_HI = 1  # next-step inventory-space max
+_SC_LOSS = 2  # fractional inventory loss
+_SC_IC = 3  # inject cost / unit
+_SC_WC = 4  # withdraw cost / unit
+_SC_CI = 5  # consumed fraction on inject
+_SC_CW = 6  # consumed fraction on withdraw
+_SC_ICR = 7  # inventory cost rate / unit
+_SC_DFS = 8  # df to settlement
+_SC_DFC = 9  # df to cost cash-flow date
+_SC_DRIFT = 10  # ln F - V/2
+_SC_VOLS = 11  # start of F vol loadings
+NUM_FIXED_SCALARS = 11
+
+
+def _design_row(spec: BasisSpec, spot, factors_cols):
+    """Design-matrix columns for a block: list of [bS] vectors."""
+    cols = []
+    for b in range(spec.num_basis):
+        col = jnp.ones_like(spot)
+        if spec.spot_powers[b]:
+            col = col * spot ** spec.spot_powers[b]
+        for f, fp in enumerate(spec.factor_powers[b]):
+            if fp:
+                col = col * factors_cols[f] ** fp
+        cols.append(col)
+    return cols
+
+
+def _forward_kernel(
+    factors_ref,  # [n, F, bS]
+    inv0_ref,  # [1, bS]
+    tables_ref,  # [n, B+1, G]
+    mus_ref,  # [n, B]
+    sds_ref,  # [n, B]
+    pillars_ref,  # [n, P, 3]
+    scalars_ref,  # [n, NS]
+    sums_ref,  # out [n, SUMS]
+    xsum_ref,  # out [n, B+1]
+    inv_out_ref,  # out [1, bS]
+    pv_out_ref,  # out [1, bS]
+    *,
+    spec: BasisSpec,
+    num_steps: int,
+    num_grid: int,
+    num_factors: int,
+    num_pillars: int,
+    interp_kind: int,
+    true_sims: int,
+):
+    bS = inv0_ref.shape[-1]
+    B = spec.num_basis
+    gi = jax.lax.broadcasted_iota(jnp.int32, (bS, num_grid), 1)
+    # Padded-sim mask: sims are padded up to a lane-aligned block multiple;
+    # padded lanes run through the DP harmlessly but must not contribute to
+    # the reduced outputs.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bS, 1), 0)[:, 0]
+    valid = (lane + pl.program_id(0) * bS) < true_sims
+    valid_f = valid.astype(jnp.float32)
+
+    def body(k, carry):
+        inv, pv = carry  # [bS], [bS]
+        sc = scalars_ref[k]  # [NS]
+        f_cols = [factors_ref[k, i, :] for i in range(num_factors)]
+        log_spot = sc[_SC_DRIFT]
+        for i in range(num_factors):
+            log_spot = log_spot + sc[_SC_VOLS + i] * f_cols[i]
+        spot = jnp.exp(log_spot)  # [bS]
+
+        # Standardized design row with a trailing ones column.
+        cols = _design_row(spec, spot, f_cols)
+        xn1_cols = []
+        for b in range(B):
+            xn1_cols.append((cols[b] - mus_ref[k, b]) / sds_ref[k, b])
+        xn1_cols.append(jnp.ones_like(spot))
+        xn1 = jnp.stack(xn1_cols, axis=1)  # [bS, B+1]
+
+        # Continuation surface for the block: one MXU matmul into VMEM.
+        # HIGHEST precision is load-bearing: default bf16 multiplies quantize
+        # ~1e5-magnitude continuation values by ~0.4%, visibly corrupting the
+        # exercise decisions (same trap as the XLA-level regression dots).
+        cont_block = jax.lax.dot_general(
+            xn1, tables_ref[k],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [bS, G]
+
+        # Ratchet rates at per-sim inventory (pillars unrolled; P is small).
+        pil_inv = [pillars_ref[k, p_idx, 0] for p_idx in range(num_pillars)]
+        pil_min = [pillars_ref[k, p_idx, 1] for p_idx in range(num_pillars)]
+        pil_max = [pillars_ref[k, p_idx, 2] for p_idx in range(num_pillars)]
+        if interp_kind == 1:  # step: floor lookup
+            min_rate = jnp.full_like(inv, pil_min[0])
+            max_rate = jnp.full_like(inv, pil_max[0])
+            for p_idx in range(1, num_pillars):
+                hit = inv >= pil_inv[p_idx]
+                min_rate = jnp.where(hit, pil_min[p_idx], min_rate)
+                max_rate = jnp.where(hit, pil_max[p_idx], max_rate)
+        else:  # linear with boundary clamping
+            min_rate = jnp.full_like(inv, pil_min[0])
+            max_rate = jnp.full_like(inv, pil_max[0])
+            for p_idx in range(num_pillars - 1):
+                x0, x1 = pil_inv[p_idx], pil_inv[p_idx + 1]
+                seg = x1 - x0
+                w_seg = jnp.where(seg > 0.0, (inv - x0) / jnp.where(seg > 0.0, seg, 1.0), 0.0)
+                w_seg = jnp.clip(w_seg, 0.0, 1.0)
+                in_seg = inv >= x0
+                min_rate = jnp.where(
+                    in_seg, pil_min[p_idx] + (pil_min[p_idx + 1] - pil_min[p_idx]) * w_seg, min_rate
+                )
+                max_rate = jnp.where(
+                    in_seg, pil_max[p_idx] + (pil_max[p_idx + 1] - pil_max[p_idx]) * w_seg, max_rate
+                )
+
+        # Fixed-width bang-bang decision set, D = 3 (ops/decisions.py semantics).
+        lo, hi, loss_rate = sc[_SC_LO], sc[_SC_HI], sc[_SC_LOSS]
+        loss_amt = loss_rate * inv
+        after_loss = inv - loss_amt
+        aw = min_rate + after_loss
+        yw = jnp.where(aw > hi, hi - after_loss, jnp.where(aw > lo, min_rate, lo - after_loss))
+        ai = max_rate + after_loss
+        yi = jnp.where(ai < lo, lo - after_loss, jnp.where(ai < hi, max_rate, hi - after_loss))
+        has_zero = (yw < 0.0) & (yi > 0.0)
+        d_mid = jnp.where(has_zero, 0.0, yi)
+        decisions = (yw, d_mid, yi)
+
+        inv_step = (hi - lo) / (num_grid - 1)
+        safe_step = jnp.where(inv_step > 0.0, inv_step, 1.0)
+
+        best_total = None
+        best_idx = None
+        best_imm = None
+        best_vol = None
+        best_consumed = None
+        for d_idx, d in enumerate(decisions):
+            q_after = inv + d - loss_amt
+            t = jnp.where(inv_step > 0.0, (q_after - lo) / safe_step, 0.0)
+            j = jnp.clip(t.astype(jnp.int32), 0, num_grid - 2)
+            w = jnp.clip(t - j.astype(jnp.float32), 0.0, 1.0)
+            wmat = (
+                jnp.where(gi == j[:, None], (1.0 - w)[:, None], 0.0)
+                + jnp.where(gi == j[:, None] + 1, w[:, None], 0.0)
+            )
+            cont_d = jnp.sum(cont_block * wmat, axis=1)  # [bS]
+            consumed = jnp.where(d > 0.0, sc[_SC_CI] * d, -sc[_SC_CW] * d)
+            iw_cost = jnp.where(d > 0.0, sc[_SC_IC] * d, -sc[_SC_WC] * d)
+            immediate = (
+                -(d + consumed) * spot * sc[_SC_DFS]
+                - (iw_cost + sc[_SC_ICR] * inv) * sc[_SC_DFC]
+            )
+            total = immediate + cont_d
+            if best_total is None:
+                best_total, best_idx = total, jnp.zeros_like(total, jnp.int32)
+                best_imm, best_vol, best_consumed = immediate, d, consumed
+            else:
+                better = total > best_total  # first-occurrence argmax
+                best_total = jnp.where(better, total, best_total)
+                best_idx = jnp.where(better, d_idx, best_idx)
+                best_imm = jnp.where(better, immediate, best_imm)
+                best_vol = jnp.where(better, d, best_vol)
+                best_consumed = jnp.where(better, consumed, best_consumed)
+
+        net = -best_vol - best_consumed
+        # Vector row stores: scalar stores to VMEM are not supported on TPU.
+        sums_ref[0, k, :] = jnp.stack(
+            [
+                jnp.sum(inv * valid_f),
+                jnp.sum(best_vol * valid_f),
+                jnp.sum(best_consumed * valid_f),
+                jnp.sum(loss_amt * valid_f),
+                jnp.sum(net * valid_f),
+                jnp.sum(best_imm * valid_f),
+                jnp.sum(net * spot * valid_f),
+            ]
+        )
+        xsum_ref[0, k, :] = jnp.sum(xn1 * valid_f[:, None], axis=0)
+        return inv + best_vol - loss_amt, pv + best_imm
+
+    inv_final, pv_final = jax.lax.fori_loop(
+        0, num_steps, body, (inv0_ref[0, :], jnp.zeros((bS,), jnp.float32))
+    )
+    inv_out_ref[0, :] = inv_final
+    pv_out_ref[0, :] = pv_final
+
+
+NUM_SUMS = 7
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "interp_kind", "num_grid", "block_sims", "interpret"),
+)
+def pallas_forward_sim(
+    factors,  # [n, F, S]
+    inv0,  # scalar starting inventory
+    tables,  # [n, B+1, G] coeff tables incl. the vbar column
+    mus,  # [n, B]
+    sds,  # [n, B]
+    pillars,  # [n, P, 3]
+    scalars,  # [n, NS] packed per-step scalars
+    spec: BasisSpec,
+    interp_kind: int,
+    num_grid: int,
+    block_sims: int = 1024,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Run the fused forward simulation.
+
+    Returns ``(sums [n, 7], xsums [n, B+1], inv_final [S], pv_final [S])``
+    where sums/xsums are already reduced over all simulations.
+    """
+    n, num_factors, S = factors.shape
+    if block_sims % 128:
+        raise ValueError("block_sims must be a multiple of 128 (TPU lane width).")
+    num_blocks = -(-S // block_sims)
+    padded = num_blocks * block_sims
+    if padded != S:
+        factors = jnp.pad(factors, ((0, 0), (0, 0), (0, padded - S)))
+    B = spec.num_basis
+    num_pillars = pillars.shape[1]
+    ns = scalars.shape[1]
+
+    inv0_row = jnp.full((1, padded), inv0, jnp.float32)
+
+    kernel = functools.partial(
+        _forward_kernel,
+        spec=spec,
+        num_steps=n,
+        num_grid=num_grid,
+        num_factors=num_factors,
+        num_pillars=num_pillars,
+        interp_kind=interp_kind,
+        true_sims=S,
+    )
+    sums, xsums, inv_final, pv_final = pl.pallas_call(
+        kernel,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((n, num_factors, block_sims), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_sims), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, B + 1, num_grid), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, num_pillars, 3), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, ns), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n, NUM_SUMS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, B + 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_sims), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_sims), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((num_blocks, n, NUM_SUMS), jnp.float32),
+            jax.ShapeDtypeStruct((num_blocks, n, B + 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, padded), jnp.float32),
+            jax.ShapeDtypeStruct((1, padded), jnp.float32),
+        ],
+        interpret=interpret,
+    )(factors, inv0_row, tables, mus, sds, pillars, scalars)
+
+    return (
+        jnp.sum(sums, axis=0),
+        jnp.sum(xsums, axis=0),
+        inv_final[0, :S],
+        pv_final[0, :S],
+    )
+
+
+def pack_scalars(
+    space_lo, space_hi, loss, inject_cost, withdraw_cost, cons_inject, cons_withdraw,
+    inv_cost_rate, df_settle, df_cost, sim_drift, sim_vols,
+) -> jnp.ndarray:
+    """Pack per-step scalars into the kernel's [n, NS] layout."""
+    cols = [
+        space_lo, space_hi, loss, inject_cost, withdraw_cost, cons_inject,
+        cons_withdraw, inv_cost_rate, df_settle, df_cost, sim_drift,
+    ]
+    packed = jnp.stack([jnp.asarray(c, jnp.float32) for c in cols], axis=1)
+    return jnp.concatenate([packed, jnp.asarray(sim_vols, jnp.float32)], axis=1)
+
+
+def _kernel_sums_reference(sums_reduced, num_sims):
+    """Per-step means from reduced partial sums (PANEL_FIELDS order + delta numerator)."""
+    return sums_reduced / num_sims
