@@ -44,6 +44,10 @@ def normalize_freq(freq: str) -> str:
     try:
         return _FREQ_ALIASES[freq]
     except KeyError:
+        # pandas reports calendar quarters with a year-end anchor ('Q-DEC');
+        # the reference's Quarter type is calendar-anchored, i.e. 'Q'.
+        if isinstance(freq, str) and freq.startswith("Q-"):
+            return "Q"
         raise ValueError(
             "freq parameter value of '{}' not supported. The allowable values "
             "are {}.".format(freq, sorted(set(_FREQ_ALIASES)))
