@@ -813,6 +813,7 @@ def run_lsmc(
     num_progress_chunks: int = 20,
     mesh=None,
     collect_panels: bool = True,
+    stopwatches=None,
 ) -> LsmcArrays:
     """Run backward induction + forward simulation.
 
@@ -855,26 +856,37 @@ def run_lsmc(
         )
 
     reg_factors = shard(reg_sims() if callable(reg_sims) else reg_sims)
+    if stopwatches is not None:
+        stopwatches.start("BackwardInduction")
     backward_npv, cont_mean0, coeffs, mus, sds, vbars = _backward_program_jit(
         reg_factors, sim_vols, sim_drift, dev, **statics
     )
     jax.block_until_ready(coeffs)
+    if stopwatches is not None:
+        stopwatches.stop("BackwardInduction")
     num_sims = reg_factors.shape[-1]
     del reg_factors
 
     val_factors = shard(val_sims() if callable(val_sims) else val_sims)
+    if stopwatches is not None:
+        stopwatches.start("ForwardSimulation")
     block = _pallas_forward_eligible(ctx, extra_decisions, mesh, collect_panels, num_sims)
     if block is not None:
-        return _forward_program_pallas(
+        arrays = _forward_program_pallas(
             val_factors, sim_vols, sim_drift, cont_mean0, coeffs, mus, sds, vbars,
             dev, backward_npv,
             discount_deltas=discount_deltas, block_sims=block, **statics
         )
-    return _forward_program_jit(
-        val_factors, sim_vols, sim_drift, cont_mean0, coeffs, mus, sds, vbars, dev,
-        backward_npv,
-        discount_deltas=discount_deltas, collect_panels=collect_panels, **statics
-    )
+    else:
+        arrays = _forward_program_jit(
+            val_factors, sim_vols, sim_drift, cont_mean0, coeffs, mus, sds, vbars, dev,
+            backward_npv,
+            discount_deltas=discount_deltas, collect_panels=collect_panels, **statics
+        )
+    if stopwatches is not None:
+        jax.block_until_ready(arrays.npv)
+        stopwatches.stop("ForwardSimulation")
+    return arrays
 
 
 def _run_lsmc_chunked(

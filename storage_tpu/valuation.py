@@ -270,7 +270,6 @@ def _multi_factor_calc(
         return f
 
     logger.info("Calculating LSMC value.")
-    stopwatches.start("BackwardInduction")
     arrays = run_lsmc(
         ctx, make_reg, make_val, sim_vols, sim_drift, spec,
         discount_deltas=discount_deltas,
@@ -280,9 +279,9 @@ def _multi_factor_calc(
         cancelled=cancelled,
         mesh=mesh,
         collect_panels=return_sim_panels,
+        stopwatches=stopwatches,
     )
     jax.block_until_ready(arrays.npv)
-    stopwatches.stop("BackwardInduction")
     logger.info("Calculation of LSMC value complete.")
 
     results = _assemble_results(ctx, arrays, intrinsic, sim_periods,
