@@ -24,7 +24,7 @@ import pandas as pd
 from ..compile import SettlementRule, ValuationContext, build_valuation_context
 from ..exceptions import InventoryConstraintsCannotBeFulfilledError
 from ..ops.decisions import bang_bang_decision_set, max_value_and_index
-from ..ops.interp import fractional_index
+from ..ops.interp import cubic_spline_moments, fractional_index
 from ..ops.ratchets import interp_rates_host
 from ..storage import CmdtyStorage
 from ..utils.discount import DiscountFn
@@ -54,7 +54,7 @@ def _empty_profile(freq: str) -> pd.DataFrame:
     )
 
 
-@partial(jax.jit, static_argnames=("interp_kind", "num_grid_points", "extra_decisions"))
+@partial(jax.jit, static_argnames=("interp_kind", "num_grid_points", "extra_decisions", "cubic"))
 def _backward_values(
     grids,  # [n+1, G]
     space_min,  # [n+1]
@@ -73,9 +73,15 @@ def _backward_values(
     interp_kind: int,
     num_grid_points: int,
     extra_decisions: int = 0,
+    cubic: bool = False,
 ):
     """Backward induction; returns the value function ``[n+1, G]`` on each
-    period's grid (reference backward loop ``IntrinsicStorageValuation.cs:191-216``)."""
+    period's grid (reference backward loop ``IntrinsicStorageValuation.cs:191-216``).
+
+    ``cubic=True`` interpolates the continuation with a natural cubic spline
+    (reference ``WithCubicSplineInventorySpaceInterpolation``); linear is the
+    default and recommended, matching the reference's own warning.
+    """
 
     def step(v_next, inputs):
         (grid_k, next_lo, next_hi, pillars_k, loss_k, ic, wc, ci, cw, icr, dfs, df0, fwd_k) = inputs
@@ -84,7 +90,18 @@ def _backward_values(
             ic, wc, ci, cw, icr, dfs, df0, extra_decisions,
         )
         j, w = fractional_index(econ.inventory_after, next_lo, next_hi, num_grid_points)
-        cont = jnp.take(v_next, j) * (1.0 - w) + jnp.take(v_next, j + 1) * w
+        if cubic:
+            from ..ops.interp import interp_columns_cubic
+
+            h = (next_hi - next_lo) / (num_grid_points - 1)
+            moments = cubic_spline_moments(v_next, h)
+            cont = interp_columns_cubic(
+                jnp.broadcast_to(v_next, (j.shape[0], v_next.shape[0])),
+                jnp.broadcast_to(moments, (j.shape[0], moments.shape[0])),
+                j, w, h,
+            )
+        else:
+            cont = jnp.take(v_next, j) * (1.0 - w) + jnp.take(v_next, j + 1) * w
         total = econ.immediate_npv(fwd_k) + cont  # [G, D]
         v_k = jnp.max(total, axis=-1)
         return v_k, v_k
@@ -182,8 +199,14 @@ def intrinsic_value(
     numerical_tolerance: float = 1e-12,
     extra_decisions: int = 0,
     dtype=jnp.float32,
+    interpolation: str = "linear",
 ) -> IntrinsicValuationResults:
     """Intrinsic value of commodity storage (reference ``intrinsic.py:42-66``).
+
+    ``interpolation``: 'linear' (default, reference
+    ``WithLinearInventorySpaceInterpolation``) or 'cubic' (natural cubic
+    spline, reference ``WithCubicSplineInventorySpaceInterpolation`` — which
+    the reference itself warns performs poorly).
 
     Args:
       settlement_rule: maps each delivery ``pd.Period`` to its settlement date;
@@ -242,6 +265,7 @@ def intrinsic_value(
         interp_kind=ctx.interp_kind,
         num_grid_points=ctx.num_grid_points,
         extra_decisions=extra_decisions,
+        cubic=(interpolation == "cubic"),
     )
     values_np = np.asarray(values, dtype=np.float64)
     rows = _forward_sweep(ctx, values_np, extra_decisions)

@@ -224,3 +224,44 @@ class TestEdgePeriods:
     def test_negative_inventory_raises(self):
         with pytest.raises(ValueError):
             intrinsic_value(self.make_storage(), "2021-01-01", -1.0, self.curve(), None, None)
+
+
+class TestCubicSplineInterpolation:
+    """Natural-cubic option (reference WithCubicSplineInventorySpaceInterpolation)."""
+
+    def test_spline_reproduces_smooth_function(self):
+        import jax.numpy as jnp
+
+        from storage_tpu.ops.interp import cubic_spline_moments, interp_columns_cubic
+
+        grid = np.linspace(0.0, 10.0, 50)
+        values = np.sin(grid)
+        h = grid[1] - grid[0]
+        moments = cubic_spline_moments(jnp.asarray(values, jnp.float32), h)
+        queries = np.linspace(0.5, 9.5, 37)
+        t = (queries - grid[0]) / h
+        j = np.clip(t.astype(np.int32), 0, 48)
+        w = t - j
+        est = interp_columns_cubic(
+            jnp.broadcast_to(jnp.asarray(values, jnp.float32), (37, 50)),
+            jnp.broadcast_to(moments, (37, 50)),
+            jnp.asarray(j)[:, None], jnp.asarray(w, jnp.float32)[:, None], h,
+        )[:, 0]
+        np.testing.assert_allclose(np.asarray(est), np.sin(queries), atol=2e-4)
+        # And it must beat linear interpolation on a smooth curve.
+        lin = values[j] * (1 - w) + values[j + 1] * w
+        assert np.abs(np.asarray(est) - np.sin(queries)).max() < np.abs(lin - np.sin(queries)).max()
+
+    def test_intrinsic_cubic_close_to_linear(self):
+        storage = CmdtyStorage(
+            "D", "2021-01-01", "2021-03-01",
+            injection_cost=0.3, withdrawal_cost=0.4,
+            min_inventory=0.0, max_inventory=2000.0,
+            max_injection_rate=60.0, max_withdrawal_rate=80.0,
+        )
+        idx = pd.period_range("2021-01-01", "2021-03-01", freq="D")
+        fwd = pd.Series(20.0 + 3.0 * np.sin(np.arange(len(idx)) / 8.0), index=idx)
+        linear = intrinsic_value(storage, "2021-01-01", 800.0, fwd, None, None)
+        cubic = intrinsic_value(storage, "2021-01-01", 800.0, fwd, None, None,
+                                interpolation="cubic")
+        assert cubic.npv == pytest.approx(linear.npv, rel=5e-3)
