@@ -35,7 +35,6 @@ Deviations from the reference (documented design choices):
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
 from functools import partial
 from typing import Callable, List, NamedTuple, Optional, Sequence, Tuple
 

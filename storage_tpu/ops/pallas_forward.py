@@ -167,7 +167,6 @@ def _forward_kernel(
         safe_step = jnp.where(inv_step > 0.0, inv_step, 1.0)
 
         best_total = None
-        best_idx = None
         best_imm = None
         best_vol = None
         best_consumed = None
@@ -189,12 +188,11 @@ def _forward_kernel(
             )
             total = immediate + cont_d
             if best_total is None:
-                best_total, best_idx = total, jnp.zeros_like(total, jnp.int32)
+                best_total = total
                 best_imm, best_vol, best_consumed = immediate, d, consumed
             else:
                 better = total > best_total  # first-occurrence argmax
                 best_total = jnp.where(better, total, best_total)
-                best_idx = jnp.where(better, d_idx, best_idx)
                 best_imm = jnp.where(better, immediate, best_imm)
                 best_vol = jnp.where(better, d, best_vol)
                 best_consumed = jnp.where(better, consumed, best_consumed)
@@ -320,6 +318,3 @@ def pack_scalars(
     return jnp.concatenate([packed, jnp.asarray(sim_vols, jnp.float32)], axis=1)
 
 
-def _kernel_sums_reference(sums_reduced, num_sims):
-    """Per-step means from reduced partial sums (PANEL_FIELDS order + delta numerator)."""
-    return sums_reduced / num_sims

@@ -167,3 +167,25 @@ class TestGranularities:
         )
         assert np.isfinite(results.npv)
         assert len(results.expected_profile) == len(idx)
+
+
+class TestAntitheticApi:
+    def test_antithetic_reduces_variance_of_npv(self):
+        storage = simple_storage()
+        fwd = curve()
+        vol = pd.Series(0.5, index=fwd.index)
+
+        def npv(seed, antithetic):
+            return multi_factor_value(
+                storage, "2021-01-01", 50.0, fwd, None, None,
+                factors=[(1.0, vol)], factor_corrs=None,
+                num_sims=256, basis_funcs="1 + x0", discount_deltas=False,
+                seed=seed, antithetic=antithetic, return_sim_panels=False,
+            ).npv
+
+        plain = np.array([npv(s, False) for s in range(8)])
+        anti = np.array([npv(s, True) for s in range(8)])
+        # Antithetic variates must not shift the level and should not blow up
+        # the spread (usually reduce it).
+        assert anti.mean() == pytest.approx(plain.mean(), rel=0.05)
+        assert anti.std() <= plain.std() * 1.5
