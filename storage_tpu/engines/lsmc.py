@@ -989,6 +989,69 @@ def _run_lsmc_chunked(
     val_factors = shard(val_sims() if callable(val_sims) else val_sims)
 
     dfd = dev.df_settle if discount_deltas else jnp.ones_like(dev.df_settle)
+
+    fwd_spans = _chunk_bounds(m, max(num_progress_chunks, min_chunks))
+    total_fwd = max(1, len(fwd_spans))
+    block = _pallas_forward_eligible(ctx, extra_decisions, mesh, collect_panels, num_sims)
+    if block is not None:
+        # Fused-kernel forward, chunked by progress span: the per-sim
+        # inventory carry threads between kernel invocations, per-sim PV adds.
+        from ..ops.pallas_forward import pack_scalars, pallas_forward_sim
+
+        if val_first:
+            inv0_s, pv0_s, outputs0 = _step0_single_sim(
+                cont_mean0, dev, dfd[0],
+                spec=spec, interp_kind=interp_kind, num_grid_points=G,
+                extra_decisions=extra_decisions,
+            )
+        else:
+            inv0_s = dev.inventory
+            pv0_s = jnp.zeros((), dtype)
+            outputs0 = None
+        tables = jnp.concatenate([coeffs, vbars[:, None, :]], axis=1)  # [m, B+1, G]
+        scalars = pack_scalars(
+            dev.space_lo[first + 1 : n + 1], dev.space_hi[first + 1 : n + 1],
+            dev.loss[first:n], dev.inject_cost[first:n], dev.withdraw_cost[first:n],
+            dev.cons_inject[first:n], dev.cons_withdraw[first:n],
+            dev.inv_cost_rate[first:n], dev.df_settle[first:n], dev.df_start[first:n],
+            sim_drift[:m], sim_vols[:m],
+        )
+        inv_carry = jnp.broadcast_to(
+            jnp.asarray(inv0_s, jnp.float32), (num_sims,)
+        )
+        pv_total = jnp.zeros((num_sims,), jnp.float32)
+        sums_parts: List[jax.Array] = []
+        xsum_parts: List[jax.Array] = []
+        for i, (a, b) in enumerate(fwd_spans):
+            sums_c, xsums_c, inv_carry, pv_c = pallas_forward_sim(
+                val_factors[a:b], inv_carry, tables[a:b], mus[a:b], sds[a:b],
+                dev.pillars[first + a : first + b], scalars[a:b],
+                spec=spec, interp_kind=interp_kind, num_grid=G, block_sims=block,
+            )
+            pv_total = pv_total + pv_c
+            sums_parts.append(sums_c)
+            xsum_parts.append(xsums_c)
+            check_cancel()
+            report(BACKWARD_PCNT_TIME + (1.0 - BACKWARD_PCNT_TIME) * (i + 1) / total_fwd)
+        stacked = _pallas_stacked_outputs(
+            jnp.concatenate(sums_parts, axis=0), jnp.concatenate(xsum_parts, axis=0),
+            tables, dev, dfd, first, n, num_sims, interp_kind, G,
+            extra_decisions, dtype,
+        )
+        if val_first:
+            outputs0 = jax.tree.map(lambda x: x[None], outputs0)
+            stacked = jax.tree.map(
+                lambda u, v_: jnp.concatenate([u, v_], axis=0), outputs0, stacked
+            )
+        carry = (inv_carry, pv_total + pv0_s)
+        end_spots = spot_from_factors(val_factors[-1], sim_vols[-1], sim_drift[-1])
+        arrays = _assemble_arrays(
+            stacked, carry, end_spots, terminal_fn, backward_npv, dtype,
+            collect_panels=False,
+        )
+        report(1.0)
+        return arrays
+
     inv0 = jnp.full((num_sims,), dev.inventory, dtype)
     pv0 = jnp.zeros((num_sims,), dtype)
     carry = (inv0, pv0)
@@ -1010,8 +1073,6 @@ def _run_lsmc_chunked(
         )
         out_parts.append(jax.tree.map(lambda x: x[None], outputs0))
 
-    fwd_spans = _chunk_bounds(m, max(num_progress_chunks, min_chunks))
-    total_fwd = max(1, len(fwd_spans))
     for i, (a, b) in enumerate(fwd_spans):
         lo_k = first + a
         hi_k = first + b
@@ -1219,6 +1280,40 @@ def _step0_single_sim(
     return inv1[0], pv1[0], outputs0
 
 
+def _pallas_stacked_outputs(
+    sums, xsums, tables, dev, dfd, first, n, num_sims, interp_kind,
+    num_grid_points, extra_decisions, dtype,
+):
+    """Per-step means, deltas and trigger arrays from the Pallas kernel's
+    reduced partial sums — the stacked-outputs structure of forward_scan
+    with ``collect_panels=False``."""
+    G = num_grid_points
+    means_rows = sums[:, :6] / num_sims  # PANEL_FIELDS order
+    deltas_rows = sums[:, 6] / num_sims / dev.fwd[first:n] * dfd[first:n]
+
+    # Trigger prices: sim-mean continuation per step from design-row sums.
+    mean_xn1 = xsums / num_sims  # [m, B+1]
+    mean_cont = jnp.einsum(
+        "mb,mbg->mg", mean_xn1, tables, precision=jax.lax.Precision.HIGHEST
+    )  # [m, G]
+    expected_inv = sums[:, 0] / num_sims
+
+    trig = jax.vmap(
+        _trigger_calc,
+        in_axes=(0, 0, 0, None, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, None),
+    )(
+        mean_cont, expected_inv, dev.pillars[first:n], interp_kind,
+        dev.loss[first:n], dev.space_lo[first + 1 : n + 1],
+        dev.space_hi[first + 1 : n + 1], dev.inject_cost[first:n],
+        dev.withdraw_cost[first:n], dev.cons_inject[first:n],
+        dev.cons_withdraw[first:n], dev.inv_cost_rate[first:n],
+        dev.df_settle[first:n], dev.df_start[first:n], G, extra_decisions,
+    )
+
+    rows_empty = jnp.zeros((n - first, 6, 0), dtype)
+    return (means_rows, deltas_rows, rows_empty) + trig
+
+
 @partial(
     jax.jit,
     static_argnames=("spec", "interp_kind", "num_grid_points", "extra_decisions",
@@ -1280,31 +1375,10 @@ def _forward_program_pallas(
         spec=spec, interp_kind=interp_kind, num_grid=G, block_sims=block_sims,
     )
 
-    # Per-step means / deltas from the reduced partial sums.
-    means_rows = sums[:, :6] / num_sims  # PANEL_FIELDS order
-    deltas_rows = sums[:, 6] / num_sims / dev.fwd[first:n] * dfd[first:n]
-
-    # Trigger prices: sim-mean continuation per step from design-row sums.
-    mean_xn1 = xsums / num_sims  # [m, B+1]
-    mean_cont = jnp.einsum(
-        "mb,mbg->mg", mean_xn1, tables, precision=jax.lax.Precision.HIGHEST
-    )  # [m, G]
-    expected_inv = sums[:, 0] / num_sims
-
-    trig = jax.vmap(
-        _trigger_calc,
-        in_axes=(0, 0, 0, None, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, None),
-    )(
-        mean_cont, expected_inv, dev.pillars[first:n], interp_kind,
-        dev.loss[first:n], dev.space_lo[first + 1 : n + 1],
-        dev.space_hi[first + 1 : n + 1], dev.inject_cost[first:n],
-        dev.withdraw_cost[first:n], dev.cons_inject[first:n],
-        dev.cons_withdraw[first:n], dev.inv_cost_rate[first:n],
-        dev.df_settle[first:n], dev.df_start[first:n], G, extra_decisions,
+    stacked = _pallas_stacked_outputs(
+        sums, xsums, tables, dev, dfd, first, n, num_sims, interp_kind, G,
+        extra_decisions, dtype,
     )
-
-    rows_empty = jnp.zeros((m, 6, 0), dtype)
-    stacked = (means_rows, deltas_rows, rows_empty) + trig
     if val_first:
         outputs0 = jax.tree.map(lambda x: x[None], outputs0)
         stacked = jax.tree.map(

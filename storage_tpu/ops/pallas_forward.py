@@ -229,7 +229,7 @@ NUM_SUMS = 7
 )
 def pallas_forward_sim(
     factors,  # [n, F, S]
-    inv0,  # scalar starting inventory
+    inv0,  # starting inventory: scalar, or per-sim [S] carry from a prior chunk
     tables,  # [n, B+1, G] coeff tables incl. the vbar column
     mus,  # [n, B]
     sds,  # [n, B]
@@ -257,7 +257,11 @@ def pallas_forward_sim(
     num_pillars = pillars.shape[1]
     ns = scalars.shape[1]
 
-    inv0_row = jnp.full((1, padded), inv0, jnp.float32)
+    # Scalar inv0 broadcasts; a per-sim [S] array (the inventory carry when the
+    # horizon is split into progress chunks) passes through and is zero-padded
+    # in the masked lanes.
+    inv0_vec = jnp.broadcast_to(jnp.asarray(inv0, jnp.float32), (S,))
+    inv0_row = jnp.pad(inv0_vec, (0, padded - S))[None, :]
 
     kernel = functools.partial(
         _forward_kernel,

@@ -119,3 +119,41 @@ class TestKernelParity:
         np.testing.assert_allclose(sums_a, sums_b, rtol=1e-5)
         np.testing.assert_allclose(inv_a, inv_b)
         np.testing.assert_allclose(pv_a, pv_b)
+
+    def test_chunked_carry_matches_single_run(self, scenario):
+        # The chunked progress driver splits the horizon and threads the
+        # per-sim inventory carry between kernel invocations; results must
+        # match one full-horizon run.
+        ctx, dev, spec, sim_vols, sim_drift, val, cf, mus, sds, vbars = scenario
+        n = ctx.n_steps
+        m = val.shape[0] - 1
+        tables = jnp.concatenate([cf, vbars[:, None, :]], axis=1)
+        scalars = pack_scalars(
+            dev.space_lo[1 : n + 1], dev.space_hi[1 : n + 1], dev.loss,
+            dev.inject_cost, dev.withdraw_cost, dev.cons_inject, dev.cons_withdraw,
+            dev.inv_cost_rate, dev.df_settle, dev.df_start, sim_drift[:m], sim_vols[:m],
+        )
+        kw = dict(spec=spec, interp_kind=ctx.interp_kind,
+                  num_grid=ctx.num_grid_points, block_sims=128, interpret=True)
+        sums_full, xs_full, inv_full, pv_full = pallas_forward_sim(
+            val[:m], dev.inventory, tables, mus, sds, dev.pillars, scalars, **kw
+        )
+        cut = m // 2
+        S = val.shape[-1]
+        inv_carry = jnp.full((S,), dev.inventory, jnp.float32)
+        pv_total = jnp.zeros((S,), jnp.float32)
+        sums_parts, xs_parts = [], []
+        for a, b in [(0, cut), (cut, m)]:
+            s_c, x_c, inv_carry, pv_c = pallas_forward_sim(
+                val[a:b], inv_carry, tables[a:b], mus[a:b], sds[a:b],
+                dev.pillars[a:b], scalars[a:b], **kw
+            )
+            pv_total = pv_total + pv_c
+            sums_parts.append(s_c)
+            xs_parts.append(x_c)
+        np.testing.assert_allclose(
+            np.concatenate(sums_parts), np.asarray(sums_full), rtol=1e-5, atol=1e-3)
+        np.testing.assert_allclose(
+            np.concatenate(xs_parts), np.asarray(xs_full), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(inv_carry), np.asarray(inv_full), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(pv_total), np.asarray(pv_full), rtol=1e-5, atol=0.1)
