@@ -281,6 +281,97 @@ def backward_scan(
     return v_final, coeffs, mu, sd, vbar
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "spec", "interp_kind", "num_grid_points", "extra_decisions",
+        "block_sims", "interpret", "precision",
+    ),
+)
+def backward_scan_pallas(
+    v_init,
+    factors,
+    sim_vols,
+    sim_drift,
+    grids,
+    next_lo,
+    next_hi,
+    pillars,
+    loss,
+    inject_cost,
+    withdraw_cost,
+    cons_inject,
+    cons_withdraw,
+    inv_cost_rate,
+    df_settle,
+    df_start,
+    spec: BasisSpec,
+    interp_kind: int,
+    num_grid_points: int,
+    extra_decisions: int,
+    block_sims: int,
+    interpret: bool = False,
+    precision: str = "high",
+):
+    """:func:`backward_scan` with the value update fused into the Pallas
+    kernel (:mod:`storage_tpu.ops.pallas_backward`).
+
+    The per-period regression (Gram + Cholesky) stays in XLA — it reduces
+    over all sims — while the fitted/actual interpolation matmuls, argmax and
+    realised-value select run block-resident in VMEM.  The kernel's masked
+    column sums carry the sim-mean ``vbar`` between periods so the centring
+    never re-reads the value surface from HBM.
+    """
+    from ..ops.pallas_backward import pallas_backward_update
+
+    G = num_grid_points
+
+    def step(carry, xs):
+        v_next, vbar_next = carry
+        (f, vols, drift, grid, lo, hi, pil, lo_r, ic, wc, ci, cw, icr, dfs, df0) = xs
+        spot = spot_from_factors(f, vols, drift)
+        X = design_matrix(spec, spot, f)
+        Xs, mu, sd = standardize_columns(X)
+        coeffs = fit_continuation(Xs, v_next - vbar_next)  # [B, G]
+
+        econ = step_economics(
+            grid, pil, interp_kind, lo_r, lo, hi, ic, wc, ci, cw, icr, dfs, df0,
+            extra_decisions,
+        )
+        j, w = fractional_index(econ.inventory_after, lo, hi, G)  # [G, D]
+        wd = jnp.stack(
+            [
+                (
+                    jax.nn.one_hot(j[:, d], G, dtype=v_next.dtype) * (1.0 - w[:, d])[:, None]
+                    + jax.nn.one_hot(j[:, d] + 1, G, dtype=v_next.dtype) * w[:, d][:, None]
+                ).T
+                for d in range(econ.decisions.shape[-1])
+            ],
+            axis=0,
+        )  # [D, G_next, G]
+        econ_pack = jnp.stack([econ.price_coeff.T, econ.cost_npv.T], axis=0)  # [2, D, G]
+        ctab = jnp.concatenate([coeffs, vbar_next[None, :]], axis=0)  # [B+1, G]
+        musd = jnp.stack([mu, sd], axis=0)
+        scal = jnp.concatenate([drift[None], vols])[None, :]
+        v_this, vbar_this = pallas_backward_update(
+            f.T, v_next, ctab, musd, wd, econ_pack, scal,
+            spec=spec, num_grid=G, block_sims=block_sims, interpret=interpret,
+            precision=precision,
+        )
+        return (v_this, vbar_this), (coeffs, mu, sd, vbar_next)
+
+    xs = (
+        factors, sim_vols, sim_drift, grids, next_lo, next_hi, pillars, loss,
+        inject_cost, withdraw_cost, cons_inject, cons_withdraw, inv_cost_rate,
+        df_settle, df_start,
+    )
+    carry0 = (v_init, jnp.mean(v_init, axis=0))
+    (v_final, _), (coeffs, mu, sd, vbar) = jax.lax.scan(
+        step, carry0, xs, reverse=True
+    )
+    return v_final, coeffs, mu, sd, vbar
+
+
 # --------------------------------------------------------------------------- #
 # Forward simulation                                                          #
 # --------------------------------------------------------------------------- #
@@ -559,12 +650,15 @@ def _backward_program(
     extra_decisions: int,
     val_first: bool,
     terminal_fn,
+    pallas_block: Optional[int] = None,
 ):
     """Backward induction as one XLA program.
 
     Returns ``(backward_npv, cont_mean0 [G], coeffs [m,B,G], mus, sds, vbars)``.
     ``cont_mean0`` is the current-period mean continuation when ``val_first``
-    (reference :171-181), else zeros (unused).
+    (reference :171-181), else zeros (unused).  ``pallas_block`` routes the
+    per-period value update through the fused kernel
+    (:mod:`storage_tpu.ops.pallas_backward`).
     """
     G = num_grid_points
     num_sims = reg_factors.shape[-1]
@@ -591,9 +685,12 @@ def _backward_program(
     m = reg_factors.shape[0] - 1  # simulated decision steps
     v = v_end
     parts = []
+    scan_fn = backward_scan if pallas_block is None else partial(
+        backward_scan_pallas, block_sims=pallas_block
+    )
     for a, b in reversed(_overflow_safe_spans(m, num_sims, G)):
         lo_k, hi_k = first + a, first + b
-        v, coeffs_c, mus_c, sds_c, vbars_c = backward_scan(
+        v, coeffs_c, mus_c, sds_c, vbars_c = scan_fn(
             v,
             reg_factors[a:b],
             sim_vols[a:b],
@@ -780,7 +877,7 @@ _backward_program_jit = jax.jit(
     _backward_program,
     static_argnames=(
         "spec", "interp_kind", "num_grid_points", "extra_decisions",
-        "val_first", "terminal_fn",
+        "val_first", "terminal_fn", "pallas_block",
     ),
     # The regression path set is dead after this program: donating lets XLA
     # reuse its GBs of HBM for scan workspace.
@@ -857,8 +954,11 @@ def run_lsmc(
     reg_factors = shard(reg_sims() if callable(reg_sims) else reg_sims)
     if stopwatches is not None:
         stopwatches.start("BackwardInduction")
+    bblock = _pallas_backward_eligible(
+        mesh, dtype, reg_factors.shape[-1], ctx.num_grid_points
+    )
     backward_npv, cont_mean0, coeffs, mus, sds, vbars = _backward_program_jit(
-        reg_factors, sim_vols, sim_drift, dev, **statics
+        reg_factors, sim_vols, sim_drift, dev, pallas_block=bblock, **statics
     )
     jax.block_until_ready(coeffs)
     if stopwatches is not None:
@@ -943,10 +1043,14 @@ def _run_lsmc_chunked(
     sd_parts: List[jax.Array] = []
     vbar_parts: List[jax.Array] = []
     total_back = max(1, len(spans))
+    bblock = _pallas_backward_eligible(mesh, dtype, num_sims, G)
+    bscan = backward_scan if bblock is None else partial(
+        backward_scan_pallas, block_sims=bblock
+    )
     for i, (a, b) in enumerate(reversed(spans)):
         lo_k = first + a
         hi_k = first + b
-        v, coeffs_c, mu_c, sd_c, vbar_c = backward_scan(
+        v, coeffs_c, mu_c, sd_c, vbar_c = bscan(
             v,
             reg_factors[a:b],
             sim_vols[a:b],
@@ -1392,6 +1496,18 @@ def _forward_program_pallas(
         stacked, carry, end_spots, terminal_fn, backward_npv, dtype,
         collect_panels=False,
     )
+
+
+def _pallas_backward_eligible(mesh, dtype, num_sims, num_grid):
+    """Fused backward value update: any interp kind / decision width, but the
+    kernel is single-device float32 (meshes shard the XLA path instead)."""
+    if mesh is not None or jnp.dtype(dtype) != jnp.float32:
+        return None
+    if jax.default_backend() != "tpu":
+        return None
+    from ..ops.pallas_backward import pick_backward_block
+
+    return pick_backward_block(num_sims, num_grid)
 
 
 def _pallas_forward_eligible(ctx, extra_decisions, mesh, collect_panels, num_sims):

@@ -1,0 +1,100 @@
+"""Pallas fused backward-update parity tests (interpreter mode on CPU).
+
+backward_scan_pallas must reproduce the XLA backward_scan: same regression
+statistics and (modulo f32 reduction-order noise in the carried sim-mean,
+which can flip near-tied decisions on a handful of sims) the same value
+surface.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+from storage_tpu import CmdtyStorage
+from storage_tpu.compile import build_valuation_context
+from storage_tpu.engines.lsmc import (
+    backward_scan,
+    backward_scan_pallas,
+    device_inputs,
+)
+from storage_tpu.models.multi_factor import build_sim_coefficients
+from storage_tpu.models.simulation import simulate_factor_paths
+from storage_tpu.ops.pallas_backward import pick_backward_block
+from storage_tpu.ops.regression import basis_spec
+from storage_tpu.utils.basis import parse_basis_functions
+
+
+@pytest.fixture(scope="module", params=["plain", "extras"])
+def scenario(request):
+    storage = CmdtyStorage(
+        "D", "2021-02-01", "2021-02-21",
+        injection_cost=0.3, withdrawal_cost=0.4,
+        min_inventory=0.0, max_inventory=500.0,
+        max_injection_rate=50.0, max_withdrawal_rate=60.0,
+        cmdty_consumed_inject=0.01, inventory_loss=0.001, inventory_cost=0.02,
+        terminal_storage_npv=lambda p, i: 0.9 * p * i,
+    )
+    idx = pd.period_range("2021-01-15", "2021-02-21", freq="D")
+    fwd = pd.Series(20.0 + 3.0 * np.sin(np.arange(len(idx)) / 3.0), index=idx)
+    rates = pd.Series(0.05, index=pd.period_range("2021-01-15", "2021-06-01", freq="D"))
+    ctx = build_valuation_context(storage, "2021-01-15", 200.0, fwd, rates, None,
+                                  num_grid_points=24)
+    sim_periods = list(ctx.periods)
+    coeffs_sim = build_sim_coefficients(
+        [(4.0, pd.Series(0.6, index=idx))], np.eye(1), ctx.val_period, fwd, sim_periods
+    )
+    spec = basis_spec(parse_basis_functions("1 + x0 + x0**2"), 1)
+    dev = device_inputs(ctx, jnp.float32)
+    sim_vols = jnp.asarray(coeffs_sim.vols, jnp.float32)
+    sim_drift = jnp.asarray(coeffs_sim.log_fwd_drift, jnp.float32)
+    reg = simulate_factor_paths(coeffs_sim, 200, seed=5)  # 200: pads to 256
+    extras = 1 if request.param == "extras" else 0
+    return ctx, dev, spec, sim_vols, sim_drift, reg, extras
+
+
+def run_backward(scenario, use_pallas):
+    ctx, dev, spec, sim_vols, sim_drift, reg, extras = scenario
+    n = ctx.n_steps
+    S = reg.shape[-1]
+    G = ctx.num_grid_points
+    m = reg.shape[0] - 1
+    end_spots = jnp.exp(sim_drift[-1] + sim_vols[-1] @ reg[-1])
+    v_end = jnp.broadcast_to(0.9 * end_spots[:, None] * dev.grids[n][None, :], (S, G))
+    args = (
+        v_end, reg[:m], sim_vols[:m], sim_drift[:m],
+        dev.grids[:n], dev.space_lo[1 : n + 1], dev.space_hi[1 : n + 1],
+        dev.pillars, dev.loss, dev.inject_cost, dev.withdraw_cost,
+        dev.cons_inject, dev.cons_withdraw, dev.inv_cost_rate,
+        dev.df_settle, dev.df_start,
+    )
+    kw = dict(spec=spec, interp_kind=ctx.interp_kind, num_grid_points=G,
+              extra_decisions=extras)
+    if use_pallas:
+        return backward_scan_pallas(
+            *args, block_sims=pick_backward_block(S, G), interpret=True, **kw
+        )
+    return backward_scan(*args, **kw)
+
+
+class TestBackwardKernelParity:
+    def test_matches_xla_backward(self, scenario):
+        v_x, cf_x, mu_x, sd_x, vb_x = run_backward(scenario, use_pallas=False)
+        v_p, cf_p, mu_p, sd_p, vb_p = run_backward(scenario, use_pallas=True)
+        # Regression statistics depend only on the factor paths: exact.
+        np.testing.assert_allclose(np.asarray(mu_p), np.asarray(mu_x), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(sd_p), np.asarray(sd_x), rtol=1e-6)
+        # vbar: kernel partial sums vs XLA mean — f32 reduction-order noise.
+        np.testing.assert_allclose(np.asarray(vb_p), np.asarray(vb_x),
+                                   rtol=1e-5, atol=0.5)
+        scale = np.abs(np.asarray(v_x)).max()
+        np.testing.assert_allclose(np.asarray(cf_p), np.asarray(cf_x),
+                                   rtol=5e-3, atol=2e-4 * scale)
+        # Value surface: sim-aggregate tight; elementwise allow a tail of
+        # near-tie decision flips from reduction-order noise.
+        np.testing.assert_allclose(
+            np.asarray(v_p).mean(axis=0), np.asarray(v_x).mean(axis=0),
+            rtol=2e-4, atol=1e-4 * scale,
+        )
+        rel = np.abs(np.asarray(v_p) - np.asarray(v_x)) / scale
+        assert np.quantile(rel, 0.995) < 1e-4
+        assert rel.max() < 0.02
