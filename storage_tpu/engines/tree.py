@@ -25,7 +25,7 @@ import pandas as pd
 from ..compile import SettlementRule, ValuationContext, build_valuation_context
 from ..exceptions import InventoryConstraintsCannotBeFulfilledError
 from ..models.trinomial import TrinomialTree, build_intrinsic_tree, build_trinomial_tree
-from ..ops.interp import fractional_index
+from ..ops.interp import cubic_spline_moments, fractional_index
 from ..storage import CmdtyStorage
 from ..utils.discount import DiscountFn
 from ..utils.frequencies import PeriodLike, normalize_freq, to_period
@@ -48,7 +48,8 @@ class TreeValuationResults(NamedTuple):
     inv_space_max: np.ndarray  # [n+1]
 
 
-@partial(jax.jit, static_argnames=("interp_kind", "num_grid_points", "extra_decisions"))
+@partial(jax.jit, static_argnames=(
+    "interp_kind", "num_grid_points", "extra_decisions", "cubic"))
 def _tree_backward(
     terminal_values,  # [K, G]
     node_prices,  # [n, K] (decision steps)
@@ -69,8 +70,15 @@ def _tree_backward(
     interp_kind: int,
     num_grid_points: int,
     extra_decisions: int,
+    cubic: bool = False,
 ):
-    """Backward DP; returns values ``[n+1, K, G]`` (period-major)."""
+    """Backward DP; returns values ``[n+1, K, G]`` (period-major).
+
+    ``cubic`` switches the inventory interpolation of the expected
+    continuation to a natural cubic spline per tree level (reference
+    ``WithInterpolatorFactory`` + ``NaturalCubicSplineInterpolatorFactory``;
+    linear remains the default, matching the reference's guidance).
+    """
 
     def step(v_next, xs):
         (prices_k, center_k, probs_k, grid_k, lo, hi, pil, lr, ic, wc, ci, cw, icr, dfs, df0) = xs
@@ -89,10 +97,18 @@ def _tree_backward(
         j, w = fractional_index(econ.inventory_after, lo, hi, num_grid_points)  # [G, D]
         # Interpolate expected continuation at post-decision inventories:
         # expected [K, G'] gathered at [G, D] column indices -> [K, G, D].
-        cont = (
-            jnp.take(expected, j, axis=1) * (1.0 - w)[None]
-            + jnp.take(expected, j + 1, axis=1) * w[None]
-        )
+        v_lo = jnp.take(expected, j, axis=1)
+        v_hi = jnp.take(expected, j + 1, axis=1)
+        u = (1.0 - w)[None]
+        ww = w[None]
+        cont = v_lo * u + v_hi * ww
+        if cubic:
+            h = (hi - lo) / (num_grid_points - 1)
+            moments = cubic_spline_moments(expected, h)  # [K, G']
+            cont = cont + h**2 / 6.0 * (
+                (u**3 - u) * jnp.take(moments, j, axis=1)
+                + (ww**3 - ww) * jnp.take(moments, j + 1, axis=1)
+            )
         immediate = (
             econ.price_coeff[None, :, :] * prices_k[:, None, None]
             - econ.cost_npv[None, :, :]
@@ -114,6 +130,7 @@ def tree_value(
     tree: TrinomialTree,
     extra_decisions: int = 0,
     dtype=jnp.float32,
+    interpolation: str = "linear",
 ) -> TreeValuationResults:
     """Run the tree DP for a compiled valuation context."""
     n = ctx.n_steps
@@ -158,6 +175,7 @@ def tree_value(
         interp_kind=ctx.interp_kind,
         num_grid_points=G,
         extra_decisions=extra_decisions,
+        cubic=(interpolation == "cubic"),
     )
     values_np = np.asarray(values, dtype=np.float64)
 
@@ -189,9 +207,12 @@ def trinomial_value(
     numerical_tolerance: float = 1e-12,
     extra_decisions: int = 0,
     dtype=jnp.float32,
+    interpolation: str = "linear",
 ) -> float:
     """Storage value under a one-factor trinomial tree
-    (reference ``trinomial.py:36-85``)."""
+    (reference ``trinomial.py:36-85``); ``interpolation`` may be 'linear'
+    (default) or 'cubic' (natural spline, reference
+    ``WithInterpolatorFactory``)."""
     freq = normalize_freq(cmdty_storage.freq)
     if freq != normalize_freq(forward_curve.index.freqstr):
         raise ValueError("cmdty_storage and forward_curve have different frequencies.")
@@ -221,7 +242,7 @@ def trinomial_value(
     tree = build_trinomial_tree(
         ctx.fwd, vols.to_numpy(dtype=np.float64), mean_reversion, time_step
     )
-    return tree_value(ctx, tree, extra_decisions, dtype).npv
+    return tree_value(ctx, tree, extra_decisions, dtype, interpolation).npv
 
 
 def intrinsic_tree_value(

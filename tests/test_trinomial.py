@@ -236,3 +236,27 @@ class TestDecisionSimulator:
         # Prices diverge, so realised values and plans must differ.
         assert up.npv != pytest.approx(down.npv, rel=1e-3)
         assert np.isfinite(up.npv) and np.isfinite(down.npv)
+
+
+class TestTreeCubicInterpolation:
+    """Natural-cubic option on the tree DP (reference WithInterpolatorFactory)."""
+
+    def test_cubic_close_to_linear(self):
+        idx = pd.period_range("2021-01-01", "2021-03-01", freq="D")
+        storage = CmdtyStorage(
+            "D", "2021-01-01", "2021-03-01",
+            injection_cost=0.3, withdrawal_cost=0.4,
+            min_inventory=0.0, max_inventory=2000.0,
+            max_injection_rate=60.0, max_withdrawal_rate=80.0,
+        )
+        fwd = pd.Series(20.0 + 3.0 * np.sin(np.arange(len(idx)) / 8.0), index=idx)
+        vol = pd.Series(0.6, index=idx)
+        kw = dict(
+            cmdty_storage=storage, val_date="2021-01-01", inventory=800.0,
+            forward_curve=fwd, spot_volatility=vol, mean_reversion=14.0,
+            time_step=1.0 / 365.0, interest_rates=None, settlement_rule=None,
+        )
+        linear = trinomial_value(**kw)
+        cubic = trinomial_value(**kw, interpolation="cubic")
+        assert cubic == pytest.approx(linear, rel=5e-3)
+        assert cubic != linear  # the option must actually change the DP
