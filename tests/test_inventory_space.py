@@ -4,8 +4,10 @@ Mirrors the reference's ``StorageHelperTest.cs`` CalculateInventorySpace cases:
 forward/backward reachability, must-be-empty pull-down, infeasible configs.
 """
 import numpy as np
+import pandas as pd
 import pytest
 
+from storage_tpu import CmdtyStorage
 from storage_tpu.exceptions import InventoryConstraintsCannotBeFulfilledError
 from storage_tpu.ops.inventory_space import calculate_inventory_space
 from storage_tpu.ops.ratchets import INTERP_LINEAR, INTERP_STEP
@@ -122,3 +124,63 @@ class TestRatchetBounds:
         )
         # Final step: must reach 0; max withdrawal 80 in top bracket -> max inv 80.
         np.testing.assert_allclose(space.max_inventory, [90.0, 80.0, 0.0])
+
+
+class TestReferenceInventorySpaceRecurrences:
+    """Ports of ``StorageHelperTest.CalculateInventorySpace_*`` (reference
+    ``StorageHelperTest.cs:280-420``): exact forward/backward recurrences with
+    3% inventory loss, rates -6/+5 and bounds [0, 23.5]."""
+
+    def make_storage(self, start, end, must_be_empty):
+        kw = dict(
+            freq="D", storage_start=start, storage_end=end,
+            injection_cost=1.5, withdrawal_cost=0.8,
+            min_inventory=0.0, max_inventory=23.5,
+            max_injection_rate=5.0, max_withdrawal_rate=6.0,
+            inventory_loss=0.03,
+        )
+        if not must_be_empty:
+            kw["terminal_storage_npv"] = lambda price, inv: 0.0
+        return CmdtyStorage(**kw)
+
+    def context(self, storage, val_date, inventory):
+        from storage_tpu.compile import build_valuation_context
+
+        idx = pd.period_range("2019-08-01", "2019-08-28", freq="D")
+        fwd = pd.Series(20.0, index=idx)
+        return build_valuation_context(storage, val_date, inventory, fwd, None, None)
+
+    def test_current_period_after_storage_start(self):
+        storage = self.make_storage("2019-08-01", "2019-08-28", must_be_empty=False)
+        ctx = self.context(storage, "2019-08-20", 8.0)
+        lo = np.asarray(ctx.inv_space.min_inventory, np.float64)
+        hi = np.asarray(ctx.inv_space.max_inventory, np.float64)
+        assert len(lo) == 9  # 2019-08-20 .. 2019-08-28
+        exp_lo = 8.0 * 0.97 - 6.0
+        exp_hi = 8.0 * 0.97 + 5.0
+        np.testing.assert_allclose([lo[1], hi[1]], [exp_lo, exp_hi], rtol=1e-12)
+        for k in range(2, 9):  # pure forward recurrence, no end constraint
+            exp_lo = max(exp_lo * 0.97 - 6.0, 0.0)
+            exp_hi = min(exp_hi * 0.97 + 5.0, 23.5)
+            np.testing.assert_allclose([lo[k], hi[k]], [exp_lo, exp_hi], rtol=1e-12)
+
+    def test_current_period_before_storage_start_with_empty_end(self):
+        storage = self.make_storage("2019-08-19", "2019-08-28", must_be_empty=True)
+        ctx = self.context(storage, "2019-08-10", 11.0)
+        lo = np.asarray(ctx.inv_space.min_inventory, np.float64)
+        hi = np.asarray(ctx.inv_space.max_inventory, np.float64)
+        assert len(lo) == 10  # 2019-08-19 .. 2019-08-28
+        # Forward recurrence holds through 2019-08-24 (index 5).
+        exp_lo = 11.0 * 0.97 - 6.0
+        exp_hi = 11.0 * 0.97 + 5.0
+        np.testing.assert_allclose([lo[1], hi[1]], [exp_lo, exp_hi], rtol=1e-12)
+        for k in range(2, 6):
+            exp_lo = max(exp_lo * 0.97 - 6.0, 0.0)
+            exp_hi = min(exp_hi * 0.97 + 5.0, 23.5)
+            np.testing.assert_allclose([lo[k], hi[k]], [exp_lo, exp_hi], rtol=1e-12)
+        # Must-be-empty backward reduction from the end (indices 9..6).
+        exp_hi = 0.0
+        np.testing.assert_allclose([lo[9], hi[9]], [0.0, 0.0], atol=1e-12)
+        for k in (8, 7, 6):
+            exp_hi = min((exp_hi + 6.0) / 0.97, 23.5)
+            np.testing.assert_allclose([lo[k], hi[k]], [0.0, exp_hi], rtol=1e-12)
