@@ -1297,6 +1297,9 @@ def fit_policy(
         jnp.asarray(sim_vols, dtype),
         jnp.asarray(sim_drift, dtype),
         dev,
+        pallas_block=_pallas_backward_eligible(
+            None, dtype, int(reg_factors.shape[-1]), ctx.num_grid_points
+        ),
         spec=spec,
         interp_kind=ctx.interp_kind,
         num_grid_points=ctx.num_grid_points,
