@@ -107,3 +107,29 @@ class TestBangBangFixedWidth:
 def test_max_value_and_index_first_occurrence():
     value, idx = max_value_and_index(np.array([1.0, 3.0, 3.0, 2.0]))
     assert value == 3.0 and idx == 1
+
+
+class TestReferenceNumericCases:
+    """The reference's exact numeric decision-set cases
+    (``StorageHelperTest.cs:37-260``), range (-15.5, 65.685), inventory 1010,
+    loss 10."""
+
+    @pytest.mark.parametrize("next_lo,next_hi,extra,expected", [
+        # Unconstrained: min/max rates with zero.
+        (900.0, 1070.0, 0, [-15.5, 0.0, 65.685]),
+        (900.0, 1070.0, 1, [-15.5, -7.75, 0.0, 32.8425, 65.685]),
+        # Next-step bounds bite on both sides, still spanning zero.
+        (991.87, 1051.8, 0, [-8.13, 0.0, 51.8]),
+        (991.87, 1051.8, 1, [-8.13, -4.065, 0.0, 25.9, 51.8]),
+        # Next max below post-loss inventory: forced withdrawal, no zero.
+        (900.0, 995.8, 0, [-15.5, -4.2]),
+        (900.0, 995.8, 1, [-15.5, -9.85, -4.2]),
+        # Next min above post-loss inventory: forced injection, no zero.
+        (1001.8, 1009.51, 0, [1.8, 9.51]),
+        (1001.8, 1009.51, 1, [1.8, 5.655, 9.51]),
+    ])
+    def test_reference_case(self, next_lo, next_hi, extra, expected):
+        decisions = bang_bang_decision_set(
+            -15.5, 65.685, 1010.0, 10.0, next_lo, next_hi, TOL, extra
+        )
+        np.testing.assert_allclose(np.asarray(decisions), expected, atol=1e-9)
