@@ -124,7 +124,6 @@ def main() -> None:
     import jax
 
     num_chips = jax.device_count()
-    north_star_budget_s = 10.0 * (8 / max(num_chips, 1))  # pro-rata per chip count
 
     for num_sims in (1_000_000, 500_000, 250_000):
         try:
@@ -136,6 +135,10 @@ def main() -> None:
         print(json.dumps({"metric": "lsmc bench failed", "value": 0, "unit": "s", "vs_baseline": 0.0}))
         return
 
+    # Pro-rata budget: the north star is 1M paths in 10 s on 8 chips, so the
+    # per-chip budget scales by chip fraction AND by the path count actually
+    # run (an OOM fallback to fewer paths must not inflate vs_baseline).
+    north_star_budget_s = 10.0 * (8 / max(num_chips, 1)) * (num_sims / 1_000_000)
     paths_per_sec = num_sims / out["wall"]
     print(
         f"# chips={num_chips} sims={num_sims} wall={out['wall']:.3f}s "

@@ -35,6 +35,7 @@ Deviations from the reference (documented design choices):
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Callable, List, NamedTuple, Optional, Sequence, Tuple
 
@@ -285,7 +286,7 @@ def backward_scan(
     jax.jit,
     static_argnames=(
         "spec", "interp_kind", "num_grid_points", "extra_decisions",
-        "block_sims", "interpret", "precision",
+        "block_sims", "interpret", "precision", "mesh",
     ),
 )
 def backward_scan_pallas(
@@ -312,15 +313,18 @@ def backward_scan_pallas(
     block_sims: int,
     interpret: bool = False,
     precision: str = "high",
+    mesh=None,
 ):
     """:func:`backward_scan` with the value update fused into the Pallas
     kernel (:mod:`storage_tpu.ops.pallas_backward`).
 
     The per-period regression (Gram + Cholesky) stays in XLA — it reduces
-    over all sims — while the fitted/actual interpolation matmuls, argmax and
-    realised-value select run block-resident in VMEM.  The kernel's masked
-    column sums carry the sim-mean ``vbar`` between periods so the centring
-    never re-reads the value surface from HBM.
+    over all sims (cross-shard psums under a mesh, inserted by GSPMD) —
+    while the fitted/actual interpolation matmuls, argmax and realised-value
+    select run block-resident in VMEM.  The kernel's masked column sums carry
+    the sim-mean ``vbar`` between periods so the centring never re-reads the
+    value surface from HBM.  Under ``mesh`` the kernel itself runs per path
+    shard via ``shard_map`` (see :func:`pallas_backward_update`).
     """
     from ..ops.pallas_backward import pallas_backward_update
 
@@ -356,7 +360,7 @@ def backward_scan_pallas(
         v_this, vbar_this = pallas_backward_update(
             f.T, v_next, ctab, musd, wd, econ_pack, scal,
             spec=spec, num_grid=G, block_sims=block_sims, interpret=interpret,
-            precision=precision,
+            precision=precision, mesh=mesh,
         )
         return (v_this, vbar_this), (coeffs, mu, sd, vbar_next)
 
@@ -650,15 +654,17 @@ def _backward_program(
     extra_decisions: int,
     val_first: bool,
     terminal_fn,
-    pallas_block: Optional[int] = None,
+    pallas: Optional[Tuple[int, bool]] = None,
+    mesh=None,
 ):
     """Backward induction as one XLA program.
 
     Returns ``(backward_npv, cont_mean0 [G], coeffs [m,B,G], mus, sds, vbars)``.
     ``cont_mean0`` is the current-period mean continuation when ``val_first``
-    (reference :171-181), else zeros (unused).  ``pallas_block`` routes the
-    per-period value update through the fused kernel
-    (:mod:`storage_tpu.ops.pallas_backward`).
+    (reference :171-181), else zeros (unused).  ``pallas`` is a
+    ``(block_sims, interpret)`` pair routing the per-period value update
+    through the fused kernel (:mod:`storage_tpu.ops.pallas_backward`),
+    shard_map'd over ``mesh`` when one is given.
     """
     G = num_grid_points
     num_sims = reg_factors.shape[-1]
@@ -685,8 +691,8 @@ def _backward_program(
     m = reg_factors.shape[0] - 1  # simulated decision steps
     v = v_end
     parts = []
-    scan_fn = backward_scan if pallas_block is None else partial(
-        backward_scan_pallas, block_sims=pallas_block
+    scan_fn = backward_scan if pallas is None else partial(
+        backward_scan_pallas, block_sims=pallas[0], interpret=pallas[1], mesh=mesh
     )
     for a, b in reversed(_overflow_safe_spans(m, num_sims, G)):
         lo_k, hi_k = first + a, first + b
@@ -877,7 +883,7 @@ _backward_program_jit = jax.jit(
     _backward_program,
     static_argnames=(
         "spec", "interp_kind", "num_grid_points", "extra_decisions",
-        "val_first", "terminal_fn", "pallas_block",
+        "val_first", "terminal_fn", "pallas", "mesh",
     ),
     # The regression path set is dead after this program: donating lets XLA
     # reuse its GBs of HBM for scan workspace.
@@ -954,11 +960,11 @@ def run_lsmc(
     reg_factors = shard(reg_sims() if callable(reg_sims) else reg_sims)
     if stopwatches is not None:
         stopwatches.start("BackwardInduction")
-    bblock = _pallas_backward_eligible(
+    bpal = _pallas_backward_eligible(
         mesh, dtype, reg_factors.shape[-1], ctx.num_grid_points
     )
     backward_npv, cont_mean0, coeffs, mus, sds, vbars = _backward_program_jit(
-        reg_factors, sim_vols, sim_drift, dev, pallas_block=bblock, **statics
+        reg_factors, sim_vols, sim_drift, dev, pallas=bpal, mesh=mesh, **statics
     )
     jax.block_until_ready(coeffs)
     if stopwatches is not None:
@@ -969,12 +975,15 @@ def run_lsmc(
     val_factors = shard(val_sims() if callable(val_sims) else val_sims)
     if stopwatches is not None:
         stopwatches.start("ForwardSimulation")
-    block = _pallas_forward_eligible(ctx, extra_decisions, mesh, collect_panels, num_sims)
-    if block is not None:
+    fpal = _pallas_forward_eligible(
+        ctx, extra_decisions, mesh, collect_panels, num_sims, dtype
+    )
+    if fpal is not None:
         arrays = _forward_program_pallas(
             val_factors, sim_vols, sim_drift, cont_mean0, coeffs, mus, sds, vbars,
             dev, backward_npv,
-            discount_deltas=discount_deltas, block_sims=block, **statics
+            discount_deltas=discount_deltas, block_sims=fpal[0],
+            interpret=fpal[1], mesh=mesh, **statics
         )
     else:
         arrays = _forward_program_jit(
@@ -1043,9 +1052,9 @@ def _run_lsmc_chunked(
     sd_parts: List[jax.Array] = []
     vbar_parts: List[jax.Array] = []
     total_back = max(1, len(spans))
-    bblock = _pallas_backward_eligible(mesh, dtype, num_sims, G)
-    bscan = backward_scan if bblock is None else partial(
-        backward_scan_pallas, block_sims=bblock
+    bpal = _pallas_backward_eligible(mesh, dtype, num_sims, G)
+    bscan = backward_scan if bpal is None else partial(
+        backward_scan_pallas, block_sims=bpal[0], interpret=bpal[1], mesh=mesh
     )
     for i, (a, b) in enumerate(reversed(spans)):
         lo_k = first + a
@@ -1096,8 +1105,10 @@ def _run_lsmc_chunked(
 
     fwd_spans = _chunk_bounds(m, max(num_progress_chunks, min_chunks))
     total_fwd = max(1, len(fwd_spans))
-    block = _pallas_forward_eligible(ctx, extra_decisions, mesh, collect_panels, num_sims)
-    if block is not None:
+    fpal = _pallas_forward_eligible(
+        ctx, extra_decisions, mesh, collect_panels, num_sims, dtype
+    )
+    if fpal is not None:
         # Fused-kernel forward, chunked by progress span: the per-sim
         # inventory carry threads between kernel invocations, per-sim PV adds.
         from ..ops.pallas_forward import pack_scalars, pallas_forward_sim
@@ -1130,7 +1141,8 @@ def _run_lsmc_chunked(
             sums_c, xsums_c, inv_carry, pv_c = pallas_forward_sim(
                 val_factors[a:b], inv_carry, tables[a:b], mus[a:b], sds[a:b],
                 dev.pillars[first + a : first + b], scalars[a:b],
-                spec=spec, interp_kind=interp_kind, num_grid=G, block_sims=block,
+                spec=spec, interp_kind=interp_kind, num_grid=G,
+                block_sims=fpal[0], interpret=fpal[1], mesh=mesh,
             )
             pv_total = pv_total + pv_c
             sums_parts.append(sums_c)
@@ -1297,7 +1309,7 @@ def fit_policy(
         jnp.asarray(sim_vols, dtype),
         jnp.asarray(sim_drift, dtype),
         dev,
-        pallas_block=_pallas_backward_eligible(
+        pallas=_pallas_backward_eligible(
             None, dtype, int(reg_factors.shape[-1]), ctx.num_grid_points
         ),
         spec=spec,
@@ -1424,7 +1436,8 @@ def _pallas_stacked_outputs(
 @partial(
     jax.jit,
     static_argnames=("spec", "interp_kind", "num_grid_points", "extra_decisions",
-                     "val_first", "terminal_fn", "discount_deltas", "block_sims"),
+                     "val_first", "terminal_fn", "discount_deltas", "block_sims",
+                     "interpret", "mesh"),
 )
 def _forward_program_pallas(
     val_factors,  # [m_rows, F, S] simulated periods (incl. end row)
@@ -1445,6 +1458,8 @@ def _forward_program_pallas(
     terminal_fn,
     discount_deltas: bool,
     block_sims: int,
+    interpret: bool = False,
+    mesh=None,
 ) -> LsmcArrays:
     """Forward pass via the fused Pallas kernel (collect_panels=False path)."""
     from ..ops.pallas_forward import pack_scalars, pallas_forward_sim
@@ -1480,6 +1495,7 @@ def _forward_program_pallas(
     sums, xsums, inv_final, pv_final = pallas_forward_sim(
         val_factors[:m], inv0, tables, mus, sds, dev.pillars[first:n], scalars,
         spec=spec, interp_kind=interp_kind, num_grid=G, block_sims=block_sims,
+        interpret=interpret, mesh=mesh,
     )
 
     stacked = _pallas_stacked_outputs(
@@ -1501,25 +1517,68 @@ def _forward_program_pallas(
     )
 
 
-def _pallas_backward_eligible(mesh, dtype, num_sims, num_grid):
-    """Fused backward value update: any interp kind / decision width, but the
-    kernel is single-device float32 (meshes shard the XLA path instead)."""
-    if mesh is not None or jnp.dtype(dtype) != jnp.float32:
+def _pallas_mode(mesh=None) -> str:
+    """Kernel execution mode: 'compiled' on TPU, 'interpret' when forced via
+    ``STORAGE_TPU_PALLAS=interpret`` (CPU-mesh parity testing), else 'off'.
+
+    The platform is taken from the MESH's devices when one is given — a CPU
+    mesh in a process whose default backend is a TPU (e.g. the driver's
+    virtual-device dryrun) must not compile TPU kernels.
+    """
+    force = os.environ.get("STORAGE_TPU_PALLAS", "").lower()
+    if force in ("off", "0", "disable", "disabled"):
+        return "off"
+    if force == "interpret":
+        return "interpret"
+    if mesh is not None:
+        platform = mesh.devices.flat[0].platform
+    else:
+        platform = jax.default_backend()
+    return "compiled" if platform == "tpu" else "off"
+
+
+def _local_sims(mesh, num_sims: int) -> Optional[int]:
+    """Per-device sim count under a paths mesh (None if not evenly sharded)."""
+    if mesh is None:
+        return num_sims
+    ndev = int(np.prod(list(mesh.shape.values())))
+    if num_sims % ndev:
         return None
-    if jax.default_backend() != "tpu":
+    return num_sims // ndev
+
+
+def _pallas_backward_eligible(mesh, dtype, num_sims, num_grid):
+    """Fused backward value update: any interp kind / decision width; f32
+    only.  Under a paths mesh the kernel runs per shard via ``shard_map``
+    (sims must divide evenly across the devices).
+
+    Returns ``(block_sims, interpret)`` or None (XLA fallback).
+    """
+    mode = _pallas_mode(mesh)
+    if mode == "off" or jnp.dtype(dtype) != jnp.float32:
+        return None
+    local = _local_sims(mesh, num_sims)
+    if local is None:
         return None
     from ..ops.pallas_backward import pick_backward_block
 
-    return pick_backward_block(num_sims, num_grid)
+    return pick_backward_block(local, num_grid), mode == "interpret"
 
 
-def _pallas_forward_eligible(ctx, extra_decisions, mesh, collect_panels, num_sims):
-    if collect_panels or mesh is not None or extra_decisions:
+def _pallas_forward_eligible(
+    ctx, extra_decisions, mesh, collect_panels, num_sims, dtype=jnp.float32
+):
+    """Returns ``(block_sims, interpret)`` or None (XLA fallback)."""
+    if collect_panels or extra_decisions:
         return None
-    if jax.default_backend() != "tpu":
+    mode = _pallas_mode(mesh)
+    if mode == "off" or jnp.dtype(dtype) != jnp.float32:
         return None
     from ..ops.ratchets import INTERP_LINEAR, INTERP_STEP
 
     if ctx.interp_kind not in (INTERP_LINEAR, INTERP_STEP):
         return None
-    return _pick_pallas_block(num_sims)
+    local = _local_sims(mesh, num_sims)
+    if local is None:
+        return None
+    return _pick_pallas_block(local), mode == "interpret"

@@ -26,7 +26,7 @@ per-grid decision economics are host-of-kernel inputs (computed by
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -153,13 +153,9 @@ def _backward_kernel(
     colsum_ref[0, 0, :] = jnp.sum(best_actual * valid_f, axis=0)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("spec", "num_grid", "block_sims", "interpret", "precision"),
-)
-def pallas_backward_update(
-    factors,  # [S, F]
-    v_next,  # [S, G]
+def _backward_update_local(
+    factors,  # [S_local, F]
+    v_next,  # [S_local, G]
     ctab,  # [B+1, G]
     musd,  # [2, B]
     wd,  # [D, G, G]
@@ -167,14 +163,15 @@ def pallas_backward_update(
     scal,  # [1, 1+F]
     spec: BasisSpec,
     num_grid: int,
-    block_sims: int = 1024,
-    interpret: bool = False,
-    precision: str = "high",
+    block_sims: int,
+    interpret: bool,
+    precision: str,
 ) -> Tuple[jax.Array, jax.Array]:
-    """One fused backward value update.
+    """Device-local kernel invocation.
 
-    Returns ``(v_this [S, G], vbar_this [G])`` — the new surface and its
-    sim-mean (from masked per-block partial sums).
+    Returns ``(v_this [S_local, G], colsum [G])`` — the new surface and its
+    masked column SUM (not mean: under a paths mesh the caller psums the
+    per-shard sums before dividing by the global sim count).
     """
     S, num_factors = factors.shape
     if block_sims % 8:
@@ -229,7 +226,68 @@ def pallas_backward_update(
         interpret=interpret,
     )(factors, v_next, ctab, musd, wd, econ, scal)
 
-    return v_this[:S], jnp.sum(colsums, axis=(0, 1)) / S
+    return v_this[:S], jnp.sum(colsums, axis=(0, 1))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "spec", "num_grid", "block_sims", "interpret", "precision", "mesh", "axis_name",
+    ),
+)
+def pallas_backward_update(
+    factors,  # [S, F]
+    v_next,  # [S, G]
+    ctab,  # [B+1, G]
+    musd,  # [2, B]
+    wd,  # [D, G, G]
+    econ,  # [2, D, G]
+    scal,  # [1, 1+F]
+    spec: BasisSpec,
+    num_grid: int,
+    block_sims: int = 1024,
+    interpret: bool = False,
+    precision: str = "high",
+    mesh=None,
+    axis_name: Optional[str] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """One fused backward value update.
+
+    Returns ``(v_this [S, G], vbar_this [G])`` — the new surface and its
+    sim-mean (from masked per-block partial sums).
+
+    With ``mesh`` (a 1-D paths mesh) the kernel runs per device shard under
+    ``shard_map``: each device updates its local slice of the value surface
+    in VMEM and the sim-mean becomes a cross-shard ``psum`` over ICI —
+    ``block_sims`` then sizes blocks of the LOCAL shard.
+    """
+    S = factors.shape[0]
+    local = functools.partial(
+        _backward_update_local,
+        spec=spec, num_grid=num_grid, block_sims=block_sims,
+        interpret=interpret, precision=precision,
+    )
+    if mesh is None:
+        v_this, colsum = local(factors, v_next, ctab, musd, wd, econ, scal)
+        return v_this, colsum / S
+
+    from jax.sharding import PartitionSpec as P
+
+    axis_name = axis_name or mesh.axis_names[0]
+
+    def body(f, v, ct, ms, w, ec, sc):
+        v_out, colsum = local(f, v, ct, ms, w, ec, sc)
+        return v_out, jax.lax.psum(colsum, axis_name)
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P(axis_name, None), P(), P(), P(), P(), P()),
+        out_specs=(P(axis_name, None), P()),
+        check_vma=False,
+    )
+    v_this, colsum = sharded(factors, v_next, ctab, musd, wd, econ, scal)
+    return v_this, colsum / S
 
 
 def pick_backward_block(num_sims: int, num_grid: int) -> int:

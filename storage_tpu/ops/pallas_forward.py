@@ -25,7 +25,7 @@ when ``collect_panels=False``, ``extra_decisions=0`` and no mesh is used).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -223,28 +223,24 @@ def _forward_kernel(
 NUM_SUMS = 7
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("spec", "interp_kind", "num_grid", "block_sims", "interpret"),
-)
-def pallas_forward_sim(
-    factors,  # [n, F, S]
-    inv0,  # starting inventory: scalar, or per-sim [S] carry from a prior chunk
-    tables,  # [n, B+1, G] coeff tables incl. the vbar column
+def _forward_sim_local(
+    factors,  # [n, F, S_local]
+    inv0_vec,  # [S_local]
+    tables,  # [n, B+1, G]
     mus,  # [n, B]
     sds,  # [n, B]
     pillars,  # [n, P, 3]
-    scalars,  # [n, NS] packed per-step scalars
+    scalars,  # [n, NS]
     spec: BasisSpec,
     interp_kind: int,
     num_grid: int,
-    block_sims: int = 1024,
-    interpret: bool = False,
+    block_sims: int,
+    interpret: bool,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Run the fused forward simulation.
+    """Device-local fused forward simulation.
 
-    Returns ``(sums [n, 7], xsums [n, B+1], inv_final [S], pv_final [S])``
-    where sums/xsums are already reduced over all simulations.
+    Returns ``(sums [n, 7], xsums [n, B+1], inv_final [S_local],
+    pv_final [S_local])`` with sums/xsums reduced over the LOCAL sims only.
     """
     n, num_factors, S = factors.shape
     if block_sims % 128:
@@ -257,10 +253,7 @@ def pallas_forward_sim(
     num_pillars = pillars.shape[1]
     ns = scalars.shape[1]
 
-    # Scalar inv0 broadcasts; a per-sim [S] array (the inventory carry when the
-    # horizon is split into progress chunks) passes through and is zero-padded
-    # in the masked lanes.
-    inv0_vec = jnp.broadcast_to(jnp.asarray(inv0, jnp.float32), (S,))
+    # Padded lanes are masked out of the reduced outputs by true_sims.
     inv0_row = jnp.pad(inv0_vec, (0, padded - S))[None, :]
 
     kernel = functools.partial(
@@ -307,6 +300,76 @@ def pallas_forward_sim(
         inv_final[0, :S],
         pv_final[0, :S],
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "spec", "interp_kind", "num_grid", "block_sims", "interpret", "mesh",
+        "axis_name",
+    ),
+)
+def pallas_forward_sim(
+    factors,  # [n, F, S]
+    inv0,  # starting inventory: scalar, or per-sim [S] carry from a prior chunk
+    tables,  # [n, B+1, G] coeff tables incl. the vbar column
+    mus,  # [n, B]
+    sds,  # [n, B]
+    pillars,  # [n, P, 3]
+    scalars,  # [n, NS] packed per-step scalars
+    spec: BasisSpec,
+    interp_kind: int,
+    num_grid: int,
+    block_sims: int = 1024,
+    interpret: bool = False,
+    mesh=None,
+    axis_name: Optional[str] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Run the fused forward simulation.
+
+    Returns ``(sums [n, 7], xsums [n, B+1], inv_final [S], pv_final [S])``
+    where sums/xsums are already reduced over all simulations.
+
+    With ``mesh`` (a 1-D paths mesh) each device runs the whole horizon for
+    its local path shard inside the kernel and the per-period partial sums
+    are ``psum``ed across shards over ICI; the per-sim inventory/PV carries
+    stay device-local.  ``block_sims`` then sizes blocks of the LOCAL shard.
+    """
+    n, num_factors, S = factors.shape
+    # Scalar inv0 broadcasts; a per-sim [S] array (the inventory carry when
+    # the horizon is split into progress chunks) passes through.
+    inv0_vec = jnp.broadcast_to(jnp.asarray(inv0, jnp.float32), (S,))
+    local = functools.partial(
+        _forward_sim_local,
+        spec=spec, interp_kind=interp_kind, num_grid=num_grid,
+        block_sims=block_sims, interpret=interpret,
+    )
+    if mesh is None:
+        return local(factors, inv0_vec, tables, mus, sds, pillars, scalars)
+
+    from jax.sharding import PartitionSpec as P
+
+    axis_name = axis_name or mesh.axis_names[0]
+
+    def body(f, iv, tb, mu, sd, pil, sc):
+        sums, xsums, inv_f, pv_f = local(f, iv, tb, mu, sd, pil, sc)
+        return (
+            jax.lax.psum(sums, axis_name),
+            jax.lax.psum(xsums, axis_name),
+            inv_f,
+            pv_f,
+        )
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(None, None, axis_name), P(axis_name), P(), P(), P(), P(), P(),
+        ),
+        out_specs=(P(), P(), P(axis_name), P(axis_name)),
+        check_vma=False,
+    )
+    return sharded(factors, inv0_vec, tables, mus, sds, pillars, scalars)
 
 
 def pack_scalars(

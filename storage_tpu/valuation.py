@@ -189,6 +189,13 @@ def _multi_factor_calc(
 
     if inventory < 0:
         raise ValueError("Inventory cannot be negative.")
+    if mesh is not None:
+        ndev = int(np.prod(list(mesh.shape.values())))
+        if num_sims % ndev:
+            raise ValueError(
+                f"num_sims ({num_sims}) must be divisible by the number of mesh "
+                f"devices ({ndev}) so paths shard evenly."
+            )
 
     # Edge cases (reference LsmcStorageValuation.cs:64-84).
     if val_period > cmdty_storage.end:
