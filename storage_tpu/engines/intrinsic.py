@@ -125,11 +125,45 @@ def _backward_values(
     return jnp.concatenate([values, terminal_values[None, :]], axis=0)
 
 
-def _forward_sweep(ctx: ValuationContext, values: np.ndarray, extra_decisions: int = 0):
+def _host_cubic_moments(y: np.ndarray, h: float) -> np.ndarray:
+    """Float64 host mirror of ``ops.interp.cubic_spline_moments`` (natural
+    boundary conditions, uniform grid)."""
+    G = len(y)
+    rhs = np.zeros(G)
+    rhs[1:-1] = 6.0 * (y[:-2] - 2.0 * y[1:-1] + y[2:]) / h**2
+    A = np.zeros((G, G))
+    A[0, 0] = A[-1, -1] = 1.0
+    idx = np.arange(1, G - 1)
+    A[idx, idx - 1] = 1.0
+    A[idx, idx] = 4.0
+    A[idx, idx + 1] = 1.0
+    return np.linalg.solve(A, rhs)
+
+
+def _host_cubic_eval(x0: float, h: float, y: np.ndarray, m: np.ndarray, xq: float) -> float:
+    t = (xq - x0) / h
+    j = int(np.clip(np.floor(t), 0, len(y) - 2))
+    w = float(np.clip(t - j, 0.0, 1.0))
+    u = 1.0 - w
+    return float(
+        y[j] * u + y[j + 1] * w
+        + h * h / 6.0 * ((u**3 - u) * m[j] + (w**3 - w) * m[j + 1])
+    )
+
+
+def _forward_sweep(
+    ctx: ValuationContext,
+    values: np.ndarray,
+    extra_decisions: int = 0,
+    interpolation: str = "linear",
+):
     """Forward pass choosing optimal decisions from the starting inventory.
 
     Host float64 re-derivation of the optimal policy against the device value
-    functions (reference ``IntrinsicStorageValuation.cs:218-259``).
+    functions (reference ``IntrinsicStorageValuation.cs:218-259``).  The
+    continuation is evaluated with the SAME interpolator the backward DP used
+    (the reference applies its configured interpolator factory in both
+    passes); with ``interpolation='cubic'`` that is the natural cubic spline.
     """
     n = ctx.n_steps
     rows = np.zeros((n + 1, len(PROFILE_COLUMNS)), dtype=np.float64)
@@ -152,13 +186,22 @@ def _forward_sweep(ctx: ValuationContext, values: np.ndarray, extra_decisions: i
         )
         grid_next = ctx.grids[k + 1]
         v_next = values[k + 1]
+        h_next = (grid_next[-1] - grid_next[0]) / max(len(grid_next) - 1, 1)
+        use_cubic = interpolation == "cubic" and len(v_next) >= 3 and h_next > 0.0
+        if use_cubic:
+            moments_next = _host_cubic_moments(v_next, h_next)
         price = float(ctx.fwd[k])
         totals = np.empty(len(decisions))
         period_pvs = np.empty(len(decisions))
         consumed_arr = np.empty(len(decisions))
         for d_idx, d in enumerate(decisions):
             inv_after = inv + d - loss
-            cont = float(np.interp(inv_after, grid_next, v_next))
+            if use_cubic:
+                cont = _host_cubic_eval(
+                    float(grid_next[0]), h_next, v_next, moments_next, inv_after
+                )
+            else:
+                cont = float(np.interp(inv_after, grid_next, v_next))
             consumed = (
                 float(ctx.cons_inject[k]) * abs(d) if d > 0.0 else float(ctx.cons_withdraw[k]) * abs(d)
             )
@@ -268,7 +311,7 @@ def intrinsic_value(
         cubic=(interpolation == "cubic"),
     )
     values_np = np.asarray(values, dtype=np.float64)
-    rows = _forward_sweep(ctx, values_np, extra_decisions)
+    rows = _forward_sweep(ctx, values_np, extra_decisions, interpolation)
     npv = float(rows[:, PROFILE_COLUMNS.index("period_pv")].sum())
     profile = pd.DataFrame(rows, columns=PROFILE_COLUMNS, index=ctx.periods)
     return IntrinsicValuationResults(npv, profile)

@@ -435,7 +435,12 @@ def _trigger_calc(
         d_cost = cost_of(volumes) - cost_of(alt)
         d_consumed = consumed_of(volumes) - consumed_of(alt)
         denom = df_settle * (volumes - alt + d_consumed)
-        return (d_cont - d_cost) / denom
+        # Zero headroom (volumes == alt) makes the denominator exactly 0; the
+        # has_inject/has_withdraw masks hide those rows downstream, but the
+        # raw arrays are engine outputs too — emit 0 instead of NaN/Inf so
+        # consumers (and jax_debug_nans) never see a poisoned value.
+        safe = jnp.where(denom != 0.0, denom, 1.0)
+        return jnp.where(denom != 0.0, (d_cont - d_cost) / safe, 0.0)
 
     steps = jnp.arange(1, NUM_TRIGGER_VOLUMES + 1, dtype=decisions.dtype)
     inject_volumes = alt_inject + steps * (max_inject - alt_inject) / NUM_TRIGGER_VOLUMES
@@ -635,6 +640,28 @@ def _chunk_bounds(n: int, num_chunks: int) -> List[Tuple[int, int]]:
 # the carried value matrix silently comes back all-zero.  Splitting into
 # sub-scans below this budget inside the same program is loss-free.
 _MAX_SCAN_ELEMENTS = 1_000_000_000
+
+
+def _check_backward_health(coeffs, vbars) -> None:
+    """Cheap post-run probe for the silent-zeroing backend failure that
+    motivated ``_MAX_SCAN_ELEMENTS``: if a backend update moves the overflow
+    threshold, the carried value surface comes back all-zero (vbars == 0 for
+    every period) or the f32 solve NaNs.  Two device-side reductions — no
+    material cost at any scale."""
+    import logging
+
+    if not bool(jnp.all(jnp.isfinite(coeffs))):
+        raise StorageError(
+            "Backward induction produced non-finite regression coefficients; "
+            "this indicates a numerical failure in the backward scan "
+            "(see the _MAX_SCAN_ELEMENTS note in engines/lsmc.py)."
+        )
+    if vbars.size and not bool(jnp.any(vbars != 0.0)):
+        logging.getLogger("storage_tpu.lsmc").warning(
+            "Backward induction value surface is identically zero for every "
+            "period - if forward prices are non-zero this is the known "
+            "scan-overflow backend failure (engines/lsmc.py _MAX_SCAN_ELEMENTS)."
+        )
 
 
 def _overflow_safe_spans(num_steps: int, num_sims: int, num_grid: int) -> List[Tuple[int, int]]:
@@ -967,6 +994,7 @@ def run_lsmc(
         reg_factors, sim_vols, sim_drift, dev, pallas=bpal, mesh=mesh, **statics
     )
     jax.block_until_ready(coeffs)
+    _check_backward_health(coeffs, vbars)
     if stopwatches is not None:
         stopwatches.stop("BackwardInduction")
     num_sims = reg_factors.shape[-1]
@@ -1088,6 +1116,7 @@ def _run_lsmc_chunked(
     mus = jnp.concatenate(mu_parts, axis=0)
     sds = jnp.concatenate(sd_parts, axis=0)
     vbars = jnp.concatenate(vbar_parts, axis=0)
+    _check_backward_health(coeffs, vbars)
 
     if val_first:
         v0, cont_mean0 = _current_period_step(

@@ -34,15 +34,23 @@ _load_failed = False
 def _build() -> bool:
     if not _SRC.exists():
         return False
+    # Compile to a temp file and atomically rename into place so a concurrent
+    # process can never dlopen a partially written library.
+    tmp_path = _LIB_PATH.with_name(f".{_LIB_PATH.name}.{os.getpid()}.tmp")
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-        "-o", str(_LIB_PATH), str(_SRC),
+        "-o", str(tmp_path), str(_SRC),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.rename(tmp_path, _LIB_PATH)
         return True
-    except (subprocess.SubprocessError, FileNotFoundError) as exc:
+    except (subprocess.SubprocessError, FileNotFoundError, OSError) as exc:
         logger.info("Native build failed (%s); using NumPy fallback.", exc)
+        try:
+            tmp_path.unlink(missing_ok=True)
+        except OSError:
+            pass
         return False
 
 
@@ -79,7 +87,9 @@ def load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_double),  # out_max
             ]
             _lib = lib
-        except OSError as exc:
+        except (OSError, AttributeError, ValueError) as exc:
+            # AttributeError: a stale/foreign .so missing the stpu_* symbols —
+            # degrade to the NumPy fallback rather than crash the valuation.
             logger.info("Native library unavailable (%s); using NumPy fallback.", exc)
             _load_failed = True
     return _lib

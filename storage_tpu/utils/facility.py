@@ -86,7 +86,10 @@ def ratchets_with_maintenance(
         underlying = table_at(period)
         schedule[period] = scale_ratchet_table(underlying, withdraw_factor, inject_factor)
         resume = period + 1
-        if resume not in schedule and resume < end_period:
+        # Add the resume entry unless the maintenance day itself is the
+        # storage end (reference spec_helpers conditions on the maintenance
+        # date, so a resume entry ON the end period is kept).
+        if resume not in schedule and resume <= end_period:
             schedule[resume] = underlying
 
     return sorted(schedule.items(), key=lambda item: item[0])

@@ -340,6 +340,31 @@ class TestTriggerPriceProperties:
                 checked += 1
         assert checked > 10
 
+    def test_summary_column_semantics_match_reference(self, valuation):
+        """Pin the summary-column pairing against the full ladders: the
+        reference keeps the price at the MAX inject volume on the inject side
+        (``MaxInjectTriggerPrice = injectTriggerPrices[last].Price``,
+        ``LsmcStorageValuation.cs:525-526``) but pairs the max withdraw VOLUME
+        with the price of the SMALLEST withdrawal increment
+        (``withdrawTriggerPrices[0].Price`` after the ladder reversal,
+        ``LsmcStorageValuation.cs:545-554``)."""
+        tp = valuation.trigger_prices
+        checked = 0
+        for k, profile in enumerate(valuation.trigger_profiles):
+            inj, wdr = profile.inject_triggers, profile.withdraw_triggers
+            if inj:
+                assert tp["inject_volume"].iloc[k] == pytest.approx(inj[-1].volume)
+                assert tp["inject_trigger_price"].iloc[k] == pytest.approx(inj[-1].price)
+            if wdr:
+                # Max |volume| ... paired with the first increment's price.
+                assert tp["withdraw_volume"].iloc[k] == pytest.approx(wdr[-1].volume)
+                assert abs(wdr[-1].volume) == max(abs(p.volume) for p in wdr)
+                assert tp["withdraw_trigger_price"].iloc[k] == pytest.approx(wdr[0].price)
+                assert abs(wdr[0].volume) == min(abs(p.volume) for p in wdr)
+            if inj and wdr:
+                checked += 1
+        assert checked > 10
+
     def test_no_withdraw_trigger_at_zero_inventory_first_period(self):
         storage = CmdtyStorage(
             "D", "2021-01-01", "2021-02-01",
@@ -409,3 +434,37 @@ class TestPolicyReprice:
         policy.save(path)
         res_a2 = reprice(ctx, LsmcPolicy.load(path), val_a, sim_vols, sim_drift, spec)
         assert float(res_a2.npv) == pytest.approx(float(res_a.npv), rel=1e-6)
+
+
+def test_scan_split_is_lossless(monkeypatch):
+    """The overflow-safe sub-scan splitting (engines/lsmc.py
+    _MAX_SCAN_ELEMENTS) must be value-neutral: forcing many tiny sub-scans
+    reproduces the single-scan results exactly (regression lock for the
+    silently-zeroing backend failure the constant works around)."""
+    import storage_tpu.engines.lsmc as lsmc_mod
+
+    storage = CmdtyStorage(
+        "D", "2021-01-01", "2021-02-20",
+        injection_cost=0.2, withdrawal_cost=0.3,
+        min_inventory=0.0, max_inventory=900.0,
+        max_injection_rate=45.0, max_withdrawal_rate=55.0,
+    )
+    idx = pd.period_range("2021-01-01", "2021-02-20", freq="D")
+    fwd = pd.Series(19.0 + 2.0 * np.cos(np.arange(len(idx)) / 5.0), index=idx)
+    vol = pd.Series(0.6, index=idx)
+
+    def run():
+        return multi_factor_value(
+            storage, "2021-01-01", 400.0, fwd, None, None,
+            factors=[(3.0, vol)], factor_corrs=None,
+            num_sims=256, basis_funcs="1 + x0 + x0**2",
+            discount_deltas=False, seed=9, return_sim_panels=False,
+        )
+
+    base = run()
+    # 256 sims x 100 grid = 25,600 elements/step -> cap of 80,000 forces
+    # sub-scans of ~3 steps each across the 50-step horizon.
+    monkeypatch.setattr(lsmc_mod, "_MAX_SCAN_ELEMENTS", 80_000)
+    split = run()
+    assert split.npv == pytest.approx(base.npv, rel=1e-6)
+    assert np.allclose(split.deltas.values, base.deltas.values, atol=1e-4)
