@@ -88,11 +88,18 @@ def _forward_kernel(
 ):
     bS = inv0_ref.shape[-1]
     B = spec.num_basis
-    gi = jax.lax.broadcasted_iota(jnp.int32, (bS, num_grid), 1)
+    # LAYOUT RULE (load-bearing for performance): every per-sim quantity is a
+    # LANE-oriented [bS] vector and the continuation surface is kept
+    # [G(sublane), bS(lane)] — so the per-decision interpolation compares and
+    # selects broadcast j[None, :] without ever converting a lane vector to
+    # the sublane axis.  The original [bS, G] orientation forced a
+    # lane->sublane relayout per decision per step (plus an 11-column stack
+    # relayout), which dominated the kernel at ~28 us/block-step.
+    gi = jax.lax.broadcasted_iota(jnp.int32, (num_grid, bS), 0)
     # Padded-sim mask: sims are padded up to a lane-aligned block multiple;
     # padded lanes run through the DP harmlessly but must not contribute to
     # the reduced outputs.
-    lane = jax.lax.broadcasted_iota(jnp.int32, (bS, 1), 0)[:, 0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, bS), 1)[0]
     valid = (lane + pl.program_id(0) * bS) < true_sims
     valid_f = valid.astype(jnp.float32)
 
@@ -105,24 +112,27 @@ def _forward_kernel(
             log_spot = log_spot + sc[_SC_VOLS + i] * f_cols[i]
         spot = jnp.exp(log_spot)  # [bS]
 
-        # Standardized design row with a trailing ones column.
+        # Standardized design row with a trailing ones column, stacked on the
+        # SUBLANE axis ([B+1, bS]) — each [bS] lane vector lands on its own
+        # sublane row, no relayout.
         cols = _design_row(spec, spot, f_cols)
         xn1_cols = []
         for b in range(B):
             xn1_cols.append((cols[b] - mus_ref[k, b]) / sds_ref[k, b])
         xn1_cols.append(jnp.ones_like(spot))
-        xn1 = jnp.stack(xn1_cols, axis=1)  # [bS, B+1]
+        xn1 = jnp.stack(xn1_cols, axis=0)  # [B+1, bS]
 
-        # Continuation surface for the block: one MXU matmul into VMEM.
+        # Continuation surface for the block: one MXU matmul into VMEM,
+        # contracting the shared B+1 axis -> [G, bS].
         # HIGHEST precision is load-bearing: default bf16 multiplies quantize
         # ~1e5-magnitude continuation values by ~0.4%, visibly corrupting the
         # exercise decisions (same trap as the XLA-level regression dots).
         cont_block = jax.lax.dot_general(
-            xn1, tables_ref[k],
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            tables_ref[k], xn1,
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )  # [bS, G]
+        )  # [G, bS]
 
         # Ratchet rates at per-sim inventory (pillars unrolled; P is small).
         pil_inv = [pillars_ref[k, p_idx, 0] for p_idx in range(num_pillars)]
@@ -175,11 +185,13 @@ def _forward_kernel(
             t = jnp.where(inv_step > 0.0, (q_after - lo) / safe_step, 0.0)
             j = jnp.clip(t.astype(jnp.int32), 0, num_grid - 2)
             w = jnp.clip(t - j.astype(jnp.float32), 0.0, 1.0)
+            # j/w broadcast along the sublane (grid) axis as [1, bS] rows —
+            # they stay lane vectors, no layout conversion.
             wmat = (
-                jnp.where(gi == j[:, None], (1.0 - w)[:, None], 0.0)
-                + jnp.where(gi == j[:, None] + 1, w[:, None], 0.0)
+                jnp.where(gi == j[None, :], (1.0 - w)[None, :], 0.0)
+                + jnp.where(gi == j[None, :] + 1, w[None, :], 0.0)
             )
-            cont_d = jnp.sum(cont_block * wmat, axis=1)  # [bS]
+            cont_d = jnp.sum(cont_block * wmat, axis=0)  # [bS]
             consumed = jnp.where(d > 0.0, sc[_SC_CI] * d, -sc[_SC_CW] * d)
             iw_cost = jnp.where(d > 0.0, sc[_SC_IC] * d, -sc[_SC_WC] * d)
             immediate = (
@@ -210,7 +222,7 @@ def _forward_kernel(
                 jnp.sum(net * spot * valid_f),
             ]
         )
-        xsum_ref[0, k, :] = jnp.sum(xn1 * valid_f[:, None], axis=0)
+        xsum_ref[0, k, :] = jnp.sum(xn1 * valid_f[None, :], axis=1)
         return inv + best_vol - loss_amt, pv + best_imm
 
     inv_final, pv_final = jax.lax.fori_loop(
