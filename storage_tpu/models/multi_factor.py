@@ -40,39 +40,53 @@ def validate_multi_factor_params(
     mean reversions must be non-negative.
     """
     factors = list(factors)
-    if len(factors) == 0:
+    n = len(factors)
+    if n == 0:
         raise ValueError("factors cannot be empty.")
-    if len(factors) == 1 and factor_corrs is None:
-        factor_corrs = np.array([[1.0]])
-    if len(factors) == 2 and isinstance(factor_corrs, (int, float)):
+
+    # Shorthand correlation specs: omitted for one factor, scalar for two.
+    if factor_corrs is None and n == 1:
+        factor_corrs = 1.0
+    if isinstance(factor_corrs, (int, float)):
         c = float(factor_corrs)
-        factor_corrs = np.array([[1.0, c], [c, 1.0]])
-    factor_corrs = np.asarray(factor_corrs, dtype=np.float64)
-    if factor_corrs.ndim != 2:
-        raise ValueError("Factor correlation matrix is not 2-dimensional.")
-    if factor_corrs.shape[0] != factor_corrs.shape[1]:
-        raise ValueError("Factor correlation matrix is not square.")
-    for (i, j), corr in np.ndenumerate(factor_corrs):
-        if i == j:
-            if not np.isclose(corr, 1.0):
-                raise ValueError(
-                    f"Factor correlation on diagonal position ({i}, {j}) value of {corr} "
-                    "not valid as not equal to 1."
-                )
-        elif not -1.0 <= corr <= 1.0:
-            raise ValueError(
-                f"Factor correlation in position ({i}, {j}) value of {corr} not valid "
-                "as not in the interval [-1, 1]"
-            )
-    if len(factors) != factor_corrs.shape[0]:
-        raise ValueError("factors and factor_corrs are of inconsistent sizes.")
-    for idx, (mean_reversion, _vol) in enumerate(factors):
-        if mean_reversion < 0.0:
-            raise ValueError(
-                f"Mean reversion value of {mean_reversion} for factor at index {idx} "
-                "not valid as is negative."
-            )
-    return factor_corrs
+        factor_corrs = np.full((n, n), c) if n == 2 else np.array([[c]])
+        np.fill_diagonal(factor_corrs, 1.0)
+
+    corr = np.asarray(factor_corrs, dtype=np.float64)
+    if corr.ndim != 2 or corr.shape[0] != corr.shape[1]:
+        raise ValueError(
+            f"factor_corrs must be a square matrix; got an array of shape {corr.shape} "
+            "(not square / not 2-D)."
+        )
+    if corr.shape[0] != n:
+        raise ValueError(
+            f"Correlation matrix is {corr.shape[0]}x{corr.shape[0]} but {n} factors "
+            "were supplied; the sizes must agree."
+        )
+
+    bad_diag = np.flatnonzero(~np.isclose(np.diag(corr), 1.0))
+    if bad_diag.size:
+        i = int(bad_diag[0])
+        raise ValueError(
+            f"Every diagonal entry of factor_corrs must equal 1; entry ({i}, {i}) "
+            f"is {corr[i, i]}."
+        )
+    off_mask = (np.abs(corr) > 1.0) & ~np.eye(n, dtype=bool)
+    if off_mask.any():
+        i, j = (int(a) for a in np.argwhere(off_mask)[0])
+        raise ValueError(
+            f"Off-diagonal correlation ({i}, {j}) = {corr[i, j]} lies outside [-1, 1]."
+        )
+
+    mean_reversions = np.array([mr for mr, _vol in factors], dtype=np.float64)
+    neg = np.flatnonzero(mean_reversions < 0.0)
+    if neg.size:
+        i = int(neg[0])
+        raise ValueError(
+            f"Factor {i} has negative mean reversion {mean_reversions[i]}; "
+            "mean reversions must be >= 0."
+        )
+    return corr
 
 
 def _curve_lookup(vol_curve: CurveType, contract, factor_num: int) -> float:
@@ -93,9 +107,8 @@ def _curve_lookup(vol_curve: CurveType, contract, factor_num: int) -> float:
                     return float(v)
             except (TypeError, ValueError):
                 continue
-    raise ValueError(
-        f"No point in vol curve of factor {factor_num} for fwd_contract value of {contract}."
-    )
+    curve_name = "fwd curve" if factor_num < 0 else f"vol curve of factor {factor_num}"
+    raise ValueError(f"No point in {curve_name} at contract {contract!r}.")
 
 
 def _as_day(date_like) -> date:
@@ -149,21 +162,16 @@ class MultiFactorModel:
         fwd_1_t = self._time_func(obs_start, fwd_contract_1)
         fwd_2_t = self._time_func(obs_start, fwd_contract_2)
 
-        cov = 0.0
-        for (i, j), corr in np.ndenumerate(self._factor_corrs):
-            mr_i, vol_curve_i = self._factors[i]
-            mr_j, vol_curve_j = self._factors[j]
-            vol_i = _curve_lookup(vol_curve_i, fwd_contract_1, i)
-            vol_j = _curve_lookup(vol_curve_j, fwd_contract_2, j)
-            x = mr_i + mr_j
-            if x == 0.0:
-                time_term = obs_end_t
-            else:
-                time_term = (math.exp(x * obs_end_t) - 1.0) / x
-            cov += (
-                vol_i * vol_j * corr * math.exp(-mr_i * fwd_1_t - mr_j * fwd_2_t) * time_term
-            )
-        return cov
+        # Vectorised over factor pairs: cov = sum_ij rho_ij v1_i v2_j
+        #   e^{-a_i T1 - a_j T2} * integral_0^t e^{(a_i+a_j) u} du.
+        mr = np.array([m for m, _ in self._factors])
+        v1 = np.array([_curve_lookup(vc, fwd_contract_1, i) for i, (_, vc) in enumerate(self._factors)])
+        v2 = np.array([_curve_lookup(vc, fwd_contract_2, j) for j, (_, vc) in enumerate(self._factors)])
+        x = mr[:, None] + mr[None, :]
+        with np.errstate(invalid="ignore"):
+            time_term = np.where(x == 0.0, obs_end_t, np.expm1(x * obs_end_t) / np.where(x == 0.0, 1.0, x))
+        decay = np.exp(-mr[:, None] * fwd_1_t - mr[None, :] * fwd_2_t)
+        return float(np.sum(self._factor_corrs * np.outer(v1, v2) * decay * time_term))
 
     def integrated_variance(self, obs_start, obs_end, fwd_contract) -> float:
         return self.integrated_covar(obs_start, obs_end, fwd_contract, fwd_contract)

@@ -102,15 +102,15 @@ class TestModelAnalytics:
             validate_multi_factor_params(
                 [(0.1, {}), (0.2, {})], np.array([[0.5, 0.0], [0.0, 1.0]])
             )
-        with pytest.raises(ValueError, match="interval"):
+        with pytest.raises(ValueError, match=r"outside \[-1, 1\]"):
             validate_multi_factor_params(
                 [(0.1, {}), (0.2, {})], np.array([[1.0, 1.5], [1.5, 1.0]])
             )
         with pytest.raises(ValueError, match="not square"):
             validate_multi_factor_params([(0.1, {}), (0.2, {})], np.ones((2, 3)))
-        with pytest.raises(ValueError, match="inconsistent"):
+        with pytest.raises(ValueError, match="sizes must agree"):
             validate_multi_factor_params([(0.1, {})], np.eye(2))
-        with pytest.raises(ValueError, match="Mean reversion"):
+        with pytest.raises(ValueError, match="negative mean reversion"):
             validate_multi_factor_params([(-0.1, {})], np.eye(1))
 
     def test_missing_vol_curve_point_raises(self):
