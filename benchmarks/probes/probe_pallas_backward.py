@@ -41,20 +41,20 @@ statics = dict(spec=spec, interp_kind=ctx.interp_kind,
                val_first=ctx.val_date_is_first_step,
                terminal_fn=storage.terminal_npv_fn)
 
-def run(block, tag, precision="high"):
+def run(block, tag):
+    pallas = None if block is None else (block, False)
     reg = simulate_factor_paths(coeffs_sim, S, seed=11)  # fresh (donated)
     np.asarray(reg.ravel()[0])
     t0 = time.time()
-    kw = dict(statics)
     out = L._backward_program_jit(reg, sim_vols, sim_drift, dev,
-                                  pallas_block=block, **kw)
+                                  pallas=pallas, **statics)
     npv = float(np.asarray(out[0]))
     t_cold = time.time() - t0
     reg = simulate_factor_paths(coeffs_sim, S, seed=11)
     np.asarray(reg.ravel()[0])
     t0 = time.time()
     out = L._backward_program_jit(reg, sim_vols, sim_drift, dev,
-                                  pallas_block=block, **statics)
+                                  pallas=pallas, **statics)
     npv2 = float(np.asarray(out[0]))
     coeffs = np.asarray(out[2])
     t_warm = time.time() - t0

@@ -321,58 +321,106 @@ def backward_scan_pallas(
     The per-period regression (Gram + Cholesky) stays in XLA — it reduces
     over all sims (cross-shard psums under a mesh, inserted by GSPMD) —
     while the fitted/actual interpolation matmuls, argmax and realised-value
-    select run block-resident in VMEM.  The kernel's masked column sums carry
-    the sim-mean ``vbar`` between periods so the centring never re-reads the
-    value surface from HBM.  Under ``mesh`` the kernel itself runs per path
-    shard via ``shard_map`` (see :func:`pallas_backward_update`).
+    select run block-resident in VMEM.  The value surface is carried
+    TRANSPOSED (``[G, S_pad]``, sims lane-padded once to the kernel block
+    multiple — see the layout rule in :mod:`storage_tpu.ops.pallas_backward`)
+    so neither the kernel nor the per-step glue ever converts between the
+    lane and sublane axes; likewise the factor paths feed the kernel as
+    ``[F, S_pad]`` rows with no per-step transpose.  The kernel's masked row
+    sums carry the sim-mean ``vbar`` between periods so the centring never
+    re-reads the value surface from HBM.  Under ``mesh`` the kernel itself
+    runs per path shard via ``shard_map`` (see :func:`pallas_backward_update`).
     """
     from ..ops.pallas_backward import pallas_backward_update
 
     G = num_grid_points
+    S = v_init.shape[0]
+    ndev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
+    true_local = S // ndev
+
+    # Single device: transpose + lane-pad ONCE for the whole scan (the padded
+    # lanes run through every step harmlessly and are masked out of the row
+    # sums).  Under a mesh the padding must be per shard, so the carry stays
+    # unpadded and the shard-local kernel wrapper pads (a tiny per-step copy).
+    S_pad = (-(-S // block_sims) * block_sims) if mesh is None else S
+    v_t = jnp.pad(v_init.T, ((0, 0), (0, S_pad - S))) if S_pad != S else v_init.T
+    factors_t = factors  # [m, F, S]
+    if S_pad != S:
+        factors_t = jnp.pad(factors, ((0, 0), (0, 0), (0, S_pad - S)))
 
     def step(carry, xs):
-        v_next, vbar_next = carry
+        v_next_t, vbar_next = carry  # [G, S_pad], [G]
         (f, vols, drift, grid, lo, hi, pil, lo_r, ic, wc, ci, cw, icr, dfs, df0) = xs
-        spot = spot_from_factors(f, vols, drift)
-        X = design_matrix(spec, spot, f)
+        fs = f[:, :S] if S_pad != S else f
+        spot = spot_from_factors(fs, vols, drift)
+        X = design_matrix(spec, spot, fs)
         Xs, mu, sd = standardize_columns(X)
-        coeffs = fit_continuation(Xs, v_next - vbar_next)  # [B, G]
+        # Gram + RHS on the transposed surface: Xs' (V - vbar) comes out
+        # [B, G] directly from contracting the sim axes, no transposes.
+        v_c = (v_next_t[:, :S] if S_pad != S else v_next_t) - vbar_next[:, None]
+        gram = jax.lax.dot_general(
+            Xs, Xs, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        rhs = jax.lax.dot_general(
+            Xs, v_c, (((0,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [B, G]
+        gram = gram + (1e-6 * S) * jnp.eye(gram.shape[0], dtype=gram.dtype)
+        cho = jax.scipy.linalg.cho_factor(gram)
+        coeffs = jax.scipy.linalg.cho_solve(cho, rhs)
+        coeffs = jnp.where(jnp.isfinite(coeffs), coeffs, 0.0)  # see fit_continuation
 
         econ = step_economics(
             grid, pil, interp_kind, lo_r, lo, hi, ic, wc, ci, cw, icr, dfs, df0,
             extra_decisions,
         )
         j, w = fractional_index(econ.inventory_after, lo, hi, G)  # [G, D]
-        wd = jnp.stack(
+        # M_d [G_query, G_next]: row g holds the two interpolation weights of
+        # query point g on the next grid (the kernel computes M_d @ V').
+        wdt = jnp.stack(
             [
-                (
-                    jax.nn.one_hot(j[:, d], G, dtype=v_next.dtype) * (1.0 - w[:, d])[:, None]
-                    + jax.nn.one_hot(j[:, d] + 1, G, dtype=v_next.dtype) * w[:, d][:, None]
-                ).T
+                jax.nn.one_hot(j[:, d], G, dtype=jnp.float32) * (1.0 - w[:, d])[:, None]
+                + jax.nn.one_hot(j[:, d] + 1, G, dtype=jnp.float32) * w[:, d][:, None]
                 for d in range(econ.decisions.shape[-1])
             ],
             axis=0,
-        )  # [D, G_next, G]
+        )  # [D, G, G]
         econ_pack = jnp.stack([econ.price_coeff.T, econ.cost_npv.T], axis=0)  # [2, D, G]
-        ctab = jnp.concatenate([coeffs, vbar_next[None, :]], axis=0)  # [B+1, G]
+        ctab = jnp.concatenate([coeffs, vbar_next[None, :]], axis=0)  # [B+1, G_next]
+        # Associativity fold: interp_d of the fitted surface == Xn1' applied
+        # to (M_d @ ctab') — precomputing the tiny [G, G] @ [G_next, B+1]
+        # products removes HALF the kernel's big [G, G] x [G, bS] matmuls.
+        cwa_t = jnp.einsum(
+            "dqn,bn->dqb", wdt, ctab, precision=jax.lax.Precision.HIGHEST,
+        )  # [D, G, B+1]
         musd = jnp.stack([mu, sd], axis=0)
         scal = jnp.concatenate([drift[None], vols])[None, :]
-        v_this, vbar_this = pallas_backward_update(
-            f.T, v_next, ctab, musd, wd, econ_pack, scal,
-            spec=spec, num_grid=G, block_sims=block_sims, interpret=interpret,
-            precision=precision, mesh=mesh,
+        vbar_in = vbar_next[:, None]
+        # Kernel refs are typed by out_shape: pin every operand to f32 so
+        # weak-type promotion (e.g. under jax_enable_x64) can't feed the f32
+        # kernel f64 inputs.
+        f, wdt, econ_pack, cwa_t, vbar_in, musd, scal = (
+            jnp.asarray(a, jnp.float32)
+            for a in (f, wdt, econ_pack, cwa_t, vbar_in, musd, scal)
         )
-        return (v_this, vbar_this), (coeffs, mu, sd, vbar_next)
+        v_this_t, vbar_this = pallas_backward_update(
+            f, v_next_t, cwa_t, vbar_in, musd, wdt, econ_pack, scal,
+            spec=spec, num_grid=G, block_sims=block_sims, true_sims=true_local,
+            interpret=interpret, precision=precision, mesh=mesh,
+        )
+        return (v_this_t, vbar_this), (coeffs, mu, sd, vbar_next)
 
     xs = (
-        factors, sim_vols, sim_drift, grids, next_lo, next_hi, pillars, loss,
+        factors_t, sim_vols, sim_drift, grids, next_lo, next_hi, pillars, loss,
         inject_cost, withdraw_cost, cons_inject, cons_withdraw, inv_cost_rate,
         df_settle, df_start,
     )
-    carry0 = (v_init, jnp.mean(v_init, axis=0))
-    (v_final, _), (coeffs, mu, sd, vbar) = jax.lax.scan(
+    carry0 = (v_t, jnp.mean(v_init, axis=0))
+    (v_final_t, _), (coeffs, mu, sd, vbar) = jax.lax.scan(
         step, carry0, xs, reverse=True
     )
+    v_final = (v_final_t[:, :S] if S_pad != S else v_final_t).T
     return v_final, coeffs, mu, sd, vbar
 
 
@@ -1521,8 +1569,14 @@ def _forward_program_pallas(
         dev.inv_cost_rate[first:n], dev.df_settle[first:n], dev.df_start[first:n],
         sim_drift[:m], sim_vols[:m],
     )
+    # Pin kernel operands to the path dtype (weak-type promotion under
+    # jax_enable_x64 would otherwise feed the f32 kernel f64 inputs).
+    inv0, tables, mus, sds, scalars, pillars = (
+        jnp.asarray(a, dtype)
+        for a in (inv0, tables, mus, sds, scalars, dev.pillars[first:n])
+    )
     sums, xsums, inv_final, pv_final = pallas_forward_sim(
-        val_factors[:m], inv0, tables, mus, sds, dev.pillars[first:n], scalars,
+        val_factors[:m], inv0, tables, mus, sds, pillars, scalars,
         spec=spec, interp_kind=interp_kind, num_grid=G, block_sims=block_sims,
         interpret=interpret, mesh=mesh,
     )
