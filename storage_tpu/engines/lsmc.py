@@ -331,10 +331,11 @@ def backward_scan_pallas(
     re-reads the value surface from HBM.  Under ``mesh`` the kernel itself
     runs per path shard via ``shard_map`` (see :func:`pallas_backward_update`).
     """
-    from ..ops.pallas_backward import pallas_backward_update
+    from ..ops.pallas_backward import assemble_regression, pallas_backward_update
 
     G = num_grid_points
     S = v_init.shape[0]
+    m = factors.shape[0]
     ndev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
     true_local = S // ndev
 
@@ -348,29 +349,20 @@ def backward_scan_pallas(
     if S_pad != S:
         factors_t = jnp.pad(factors, ((0, 0), (0, 0), (0, S_pad - S)))
 
-    def step(carry, xs):
-        v_next_t, vbar_next = carry  # [G, S_pad], [G]
-        (f, vols, drift, grid, lo, hi, pil, lo_r, ic, wc, ci, cw, icr, dfs, df0) = xs
-        fs = f[:, :S] if S_pad != S else f
-        spot = spot_from_factors(fs, vols, drift)
-        X = design_matrix(spec, spot, fs)
-        Xs, mu, sd = standardize_columns(X)
-        # Gram + RHS on the transposed surface: Xs' (V - vbar) comes out
-        # [B, G] directly from contracting the sim axes, no transposes.
-        v_c = (v_next_t[:, :S] if S_pad != S else v_next_t) - vbar_next[:, None]
-        gram = jax.lax.dot_general(
-            Xs, Xs, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        rhs = jax.lax.dot_general(
-            Xs, v_c, (((0,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [B, G]
-        gram = gram + (1e-6 * S) * jnp.eye(gram.shape[0], dtype=gram.dtype)
-        cho = jax.scipy.linalg.cho_factor(gram)
-        coeffs = jax.scipy.linalg.cho_solve(cho, rhs)
-        coeffs = jnp.where(jnp.isfinite(coeffs), coeffs, 0.0)  # see fit_continuation
+    def kernel_step(k, coeffs, mu, sd, vbar_next, v_next_t, xs_k):
+        """Dispatch the fused kernel for period k (regression already solved).
 
+        The kernel also emits Gram/RHS partials for period k-1's regression
+        (computed from factors[k-1] against the surface it just wrote), so
+        the scan's next iteration skips the XLA design/standardize/Gram pass
+        entirely — the [S, B] design matrix never materialises in HBM.
+        """
+        (vols, drift, vols_p, drift_p, grid, lo, hi, pil, lo_r, ic, wc, ci, cw,
+         icr, dfs, df0) = xs_k
+        f = jax.lax.dynamic_index_in_dim(factors_t, k, 0, keepdims=False)
+        f_prev = jax.lax.dynamic_index_in_dim(
+            factors_t, jnp.maximum(k - 1, 0), 0, keepdims=False
+        )
         econ = step_economics(
             grid, pil, interp_kind, lo_r, lo, hi, ic, wc, ci, cw, icr, dfs, df0,
             extra_decisions,
@@ -386,7 +378,7 @@ def backward_scan_pallas(
             ],
             axis=0,
         )  # [D, G, G]
-        econ_pack = jnp.stack([econ.price_coeff.T, econ.cost_npv.T], axis=0)  # [2, D, G]
+        econ_pack = jnp.stack([econ.price_coeff.T, econ.cost_npv.T], axis=0)
         ctab = jnp.concatenate([coeffs, vbar_next[None, :]], axis=0)  # [B+1, G_next]
         # Associativity fold: interp_d of the fitted surface == Xn1' applied
         # to (M_d @ ctab') — precomputing the tiny [G, G] @ [G_next, B+1]
@@ -395,33 +387,88 @@ def backward_scan_pallas(
             "dqn,bn->dqb", wdt, ctab, precision=jax.lax.Precision.HIGHEST,
         )  # [D, G, B+1]
         musd = jnp.stack([mu, sd], axis=0)
-        scal = jnp.concatenate([drift[None], vols])[None, :]
+        scal = jnp.stack(
+            [jnp.concatenate([drift[None], vols]),
+             jnp.concatenate([drift_p[None], vols_p])],
+            axis=0,
+        )  # [2, 1+F]
         vbar_in = vbar_next[:, None]
         # Kernel refs are typed by out_shape: pin every operand to f32 so
         # weak-type promotion (e.g. under jax_enable_x64) can't feed the f32
         # kernel f64 inputs.
-        f, wdt, econ_pack, cwa_t, vbar_in, musd, scal = (
+        f, f_prev, wdt, econ_pack, cwa_t, vbar_in, musd, scal = (
             jnp.asarray(a, jnp.float32)
-            for a in (f, wdt, econ_pack, cwa_t, vbar_in, musd, scal)
+            for a in (f, f_prev, wdt, econ_pack, cwa_t, vbar_in, musd, scal)
         )
-        v_this_t, vbar_this = pallas_backward_update(
-            f, v_next_t, cwa_t, vbar_in, musd, wdt, econ_pack, scal,
+        return pallas_backward_update(
+            f, f_prev, v_next_t, cwa_t, vbar_in, musd, wdt, econ_pack, scal,
             spec=spec, num_grid=G, block_sims=block_sims, true_sims=true_local,
             interpret=interpret, precision=precision, mesh=mesh,
-        )
-        return (v_this_t, vbar_this), (coeffs, mu, sd, vbar_next)
+        ), musd
 
-    xs = (
-        factors_t, sim_vols, sim_drift, grids, next_lo, next_hi, pillars, loss,
-        inject_cost, withdraw_cost, cons_inject, cons_withdraw, inv_cost_rate,
-        df_settle, df_start,
+    def slice_xs(all_xs, k):
+        return tuple(a[k] for a in all_xs)
+
+    vols_prev = jnp.concatenate([sim_vols[:1], sim_vols[:-1]], axis=0)
+    drift_prev = jnp.concatenate([sim_drift[:1], sim_drift[:-1]], axis=0)
+    all_xs = (
+        sim_vols, sim_drift, vols_prev, drift_prev, grids, next_lo, next_hi,
+        pillars, loss, inject_cost, withdraw_cost, cons_inject, cons_withdraw,
+        inv_cost_rate, df_settle, df_start,
     )
-    carry0 = (v_t, jnp.mean(v_init, axis=0))
-    (v_final_t, _), (coeffs, mu, sd, vbar) = jax.lax.scan(
-        step, carry0, xs, reverse=True
+
+    # Hoisted latest period (k = m-1): its regression has no kernel partials
+    # yet, so solve it the XLA way once per scan span.
+    vbar0 = jnp.mean(v_init, axis=0)
+    f_last = factors_t[m - 1][:, :S] if S_pad != S else factors_t[m - 1]
+    spot = spot_from_factors(f_last, sim_vols[m - 1], sim_drift[m - 1])
+    X = design_matrix(spec, spot, f_last)
+    Xs, mu0, sd0 = standardize_columns(X)
+    rhs0 = jax.lax.dot_general(
+        Xs, v_t[:, :S] if S_pad != S else v_t, (((0,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    ) - jnp.sum(Xs, axis=0)[:, None] * vbar0[None, :]
+    gram0 = jax.lax.dot_general(
+        Xs, Xs, (((0,), (0,)), ((), ())), precision=jax.lax.Precision.HIGHEST,
+    ) + (1e-6 * S) * jnp.eye(spec.num_basis, dtype=Xs.dtype)
+    coeffs0 = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(gram0), rhs0)
+    coeffs0 = jnp.where(jnp.isfinite(coeffs0), coeffs0, 0.0)  # see fit_continuation
+
+    (v_t1, vbar1, graw, praw), _ = kernel_step(
+        m - 1, coeffs0, mu0, sd0, vbar0, v_t, slice_xs(all_xs, m - 1)
     )
+
+    def step(carry, k):
+        v_next_t, vbar_next, c_prev, graw, praw, musd_prev = carry
+        # The partials were standardized with musd_prev and centred on c_prev;
+        # assemble period k's exact regression from them.
+        coeffs, mu, sd = assemble_regression(
+            graw, praw, musd_prev, vbar_next - c_prev, S
+        )
+        (v_this_t, vbar_this, graw_n, praw_n), musd = kernel_step(
+            k, coeffs, mu, sd, vbar_next, v_next_t, slice_xs(all_xs, k)
+        )
+        carry = (v_this_t, vbar_this, vbar_next, graw_n, praw_n, musd)
+        return carry, (coeffs, mu, sd, vbar_next)
+
+    carry0 = (v_t1, vbar1, vbar0, graw, praw, jnp.stack([mu0, sd0], axis=0))
+    carry_f, ys = jax.lax.scan(
+        step, carry0, jnp.arange(m - 2, -1, -1) if m > 1 else jnp.arange(0),
+    )
+    v_final_t = carry_f[0]
+
+    if m > 1:
+        coeffs_s, mu_s, sd_s, vbar_s = ys  # emitted k = m-2 .. 0 (reverse time)
+        coeffs_all = jnp.concatenate([coeffs_s[::-1], coeffs0[None]], axis=0)
+        mu_all = jnp.concatenate([mu_s[::-1], mu0[None]], axis=0)
+        sd_all = jnp.concatenate([sd_s[::-1], sd0[None]], axis=0)
+        vbar_all = jnp.concatenate([vbar_s[::-1], vbar0[None]], axis=0)
+    else:
+        coeffs_all, mu_all = coeffs0[None], mu0[None]
+        sd_all, vbar_all = sd0[None], vbar0[None]
+
     v_final = (v_final_t[:, :S] if S_pad != S else v_final_t).T
-    return v_final, coeffs, mu, sd, vbar
+    return v_final, coeffs_all, mu_all, sd_all, vbar_all
 
 
 # --------------------------------------------------------------------------- #

@@ -63,15 +63,18 @@ def _mm(a, b, precision=None):
 
 def _backward_kernel(
     factors_ref,  # [F, bS] (sims on the LANE axis, like every other ref)
+    fprev_ref,  # [F, bS] PREVIOUS period's factors (for the next regression)
     v_ref,  # [G, bS] next-period values (transposed surface)
     cwa_ref,  # [D, G, B+1] interpolated coeff tables (vbar column at index B)
     vbar_ref,  # [G, 1] sim-mean of the next-period surface
     musd_ref,  # [2, B] standardization mean / scale
     wdt_ref,  # [D, G, G] per-decision interp matrices, M_d (query x next)
     econ_ref,  # [2, D, G] price_coeff / cost_npv per (decision, grid point)
-    scal_ref,  # [1, 1+F] drift, vol loadings
+    scal_ref,  # [2, 1+F] drift, vol loadings for this and the previous period
     v_out_ref,  # out [G, bS] this-period values
     rowsum_ref,  # out [1, G, 1] partial row sums of the new surface
+    graw_ref,  # out [1, B+1, B+1] raw Gram partials of the PREVIOUS design
+    praw_ref,  # out [1, B+1, G] raw cross partials X_prev' (V_out - vbar)
     *,
     spec: BasisSpec,
     num_grid: int,
@@ -85,11 +88,14 @@ def _backward_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, bS), 1)
     valid_f = ((lane + pl.program_id(0) * bS) < true_sims).astype(jnp.float32)
 
-    f_rows = [factors_ref[i : i + 1, :] for i in range(num_factors)]  # [1, bS]
-    log_spot = scal_ref[0, 0]
-    for i in range(num_factors):
-        log_spot = log_spot + scal_ref[0, 1 + i] * f_rows[i]
-    spot = jnp.exp(log_spot)  # [1, bS]
+    def spot_of(fac_ref, row):
+        rows = [fac_ref[i : i + 1, :] for i in range(num_factors)]  # [1, bS]
+        log_spot = scal_ref[row, 0]
+        for i in range(num_factors):
+            log_spot = log_spot + scal_ref[row, 1 + i] * rows[i]
+        return jnp.exp(log_spot), rows  # [1, bS]
+
+    spot, f_rows = spot_of(factors_ref, 0)
 
     # Standardized design row with a trailing ones row, stacked on the
     # SUBLANE axis ([B+1, bS]) — each [1, bS] lane vector lands on its own
@@ -146,32 +152,65 @@ def _backward_kernel(
     v_out_ref[...] = best_actual
     rowsum_ref[0, :, :] = jnp.sum(best_actual * valid_f, axis=1, keepdims=True)
 
+    # Regression partials for the NEXT scan step, computed while the
+    # just-written surface is still in VMEM: the previous period's design
+    # rows (ones row appended, padded lanes masked to zero) contracted
+    # against themselves and against the centred new surface.  The rows are
+    # standardized with THIS period's (mu, sd) as an approximate centring —
+    # consecutive periods' design statistics differ by ~0.1 sd, so every
+    # accumulated entry stays at sd scale and f32 block sums lose nothing to
+    # cancellation.  The caller re-standardizes to the previous period's own
+    # exact statistics with closed-form affine algebra (the ones row carries
+    # the column sums) — see ``assemble_regression``.
+    spot_prev, fprev_rows = spot_of(fprev_ref, 1)
+    cols_prev = _design_row(spec, spot_prev, fprev_rows)
+    xr = jnp.concatenate(
+        [(cols_prev[b] - musd_ref[0, b]) / musd_ref[1, b] for b in range(B)]
+        + [jnp.ones((1, bS), jnp.float32)],
+        axis=0,
+    ) * valid_f  # [B+1, bS] approx-standardized, masked
+    v_out_c = best_actual - vbar_ref[...]
+    lanes_dn = (((1,), (1,)), ((), ()))
+    graw_ref[0, :, :] = jax.lax.dot_general(
+        xr, xr, dimension_numbers=lanes_dn,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    praw_ref[0, :, :] = jax.lax.dot_general(
+        xr, v_out_c, dimension_numbers=lanes_dn,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
 
 def _backward_update_local(
     factors_t,  # [F, S_local] (lane-padded)
+    fprev_t,  # [F, S_local] previous period's factors
     v_next_t,  # [G, S_local] (lane-padded)
     cwa_t,  # [D, G, B+1]
     vbar,  # [G, 1]
     musd,  # [2, B]
     wdt,  # [D, G, G]
     econ,  # [2, D, G]
-    scal,  # [1, 1+F]
+    scal,  # [2, 1+F]
     spec: BasisSpec,
     num_grid: int,
     block_sims: int,
     true_sims: int,
     interpret: bool,
     precision: str,
-) -> Tuple[jax.Array, jax.Array]:
+):
     """Device-local kernel invocation on the TRANSPOSED surface.
 
     Inputs may be lane-padded to a multiple of ``block_sims`` already (the
     single-device scan pre-pads ONCE for the whole scan) or unpadded (the
     per-shard body under a mesh — local shards pad here, a tiny per-step
     copy); ``true_sims`` is the real (unpadded) count for masking.  Returns
-    ``(v_this_t [G, S_in], rowsum [G])`` — the new surface (at the input's
-    lane count) and its masked row SUM (not mean: under a paths mesh the
-    caller psums the per-shard sums before dividing by the global sim count).
+    ``(v_this_t [G, S_in], rowsum [G], graw [B+1, B+1] f64, praw [B+1, G]
+    f64)`` — the new surface (at the input's lane count), its masked row SUM,
+    and the raw regression partials for the previous period (sums, not means:
+    under a paths mesh the caller psums the per-shard sums before dividing by
+    the global sim count).
     """
     if block_sims % 128:
         raise ValueError("block_sims must be a multiple of 128 (TPU lanes).")
@@ -179,6 +218,7 @@ def _backward_update_local(
     S_pad = -(-S_in // block_sims) * block_sims
     if S_pad != S_in:
         factors_t = jnp.pad(factors_t, ((0, 0), (0, S_pad - S_in)))
+        fprev_t = jnp.pad(fprev_t, ((0, 0), (0, S_pad - S_in)))
         v_next_t = jnp.pad(v_next_t, ((0, 0), (0, S_pad - S_in)))
     num_blocks = S_pad // block_sims
     B = spec.num_basis
@@ -197,10 +237,12 @@ def _backward_update_local(
             else jax.lax.Precision.HIGH
         ),
     )
-    v_this, rowsums = pl.pallas_call(
+    v_this, rowsums, graws, praws = pl.pallas_call(
         kernel,
         grid=(num_blocks,),
         in_specs=[
+            pl.BlockSpec((num_factors, block_sims), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((num_factors, block_sims), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((num_grid, block_sims), lambda i: (0, i),
@@ -213,7 +255,7 @@ def _backward_update_local(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, D, num_grid), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1 + num_factors), lambda i: (0, 0),
+            pl.BlockSpec((2, 1 + num_factors), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -221,17 +263,27 @@ def _backward_update_local(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, num_grid, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B + 1, B + 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B + 1, num_grid), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((num_grid, S_pad), jnp.float32),
             jax.ShapeDtypeStruct((num_blocks, num_grid, 1), jnp.float32),
+            jax.ShapeDtypeStruct((num_blocks, B + 1, B + 1), jnp.float32),
+            jax.ShapeDtypeStruct((num_blocks, B + 1, num_grid), jnp.float32),
         ],
         interpret=interpret,
-    )(factors_t, v_next_t, cwa_t, vbar, musd, wdt, econ, scal)
+    )(factors_t, fprev_t, v_next_t, cwa_t, vbar, musd, wdt, econ, scal)
 
     if S_pad != S_in:
         v_this = v_this[:, :S_in]
-    return v_this, jnp.sum(rowsums, axis=(0, 2))
+    # Cross-block f32 sums are safe: the kernel's approximate standardization
+    # keeps every partial at sd scale (no raw s**4-magnitude moments).
+    graw = jnp.sum(graws, axis=0)
+    praw = jnp.sum(praws, axis=0)
+    return v_this, jnp.sum(rowsums, axis=(0, 2)), graw, praw
 
 
 @functools.partial(
@@ -243,13 +295,14 @@ def _backward_update_local(
 )
 def pallas_backward_update(
     factors_t,  # [F, S_pad] lane-padded
+    fprev_t,  # [F, S_pad] previous period's factors
     v_next_t,  # [G, S_pad] lane-padded transposed surface
     cwa_t,  # [D, G, B+1] per-decision M_d @ (coeffs+vbar).T tables
     vbar,  # [G, 1]
     musd,  # [2, B]
     wdt,  # [D, G, G]
     econ,  # [2, D, G]
-    scal,  # [1, 1+F]
+    scal,  # [2, 1+F]
     spec: BasisSpec,
     num_grid: int,
     block_sims: int,
@@ -258,15 +311,17 @@ def pallas_backward_update(
     precision: str = "high",
     mesh=None,
     axis_name: Optional[str] = None,
-) -> Tuple[jax.Array, jax.Array]:
+):
     """One fused backward value update on the transposed surface.
 
-    Returns ``(v_this_t [G, S_pad], vbar_this [G])`` — the new surface and
-    its sim-mean (from masked per-block partial sums over the TRUE sims).
+    Returns ``(v_this_t [G, S_pad], vbar_this [G], graw [B+1, B+1],
+    praw [B+1, G])`` — the new surface, its sim-mean (from masked per-block
+    partial sums over the TRUE sims), and the previous-period regression
+    partials (global sums; see :func:`assemble_regression`).
 
     With ``mesh`` (a 1-D paths mesh) the kernel runs per device shard under
     ``shard_map``: each device updates its local slice of the value surface
-    in VMEM and the sim-mean becomes a cross-shard ``psum`` over ICI —
+    in VMEM and every reduction becomes a cross-shard ``psum`` over ICI —
     ``block_sims`` then sizes blocks of the LOCAL shard and ``true_sims`` is
     the per-shard unpadded count.
     """
@@ -276,33 +331,99 @@ def pallas_backward_update(
         true_sims=true_sims, interpret=interpret, precision=precision,
     )
     if mesh is None:
-        v_this, rowsum = local(
-            factors_t, v_next_t, cwa_t, vbar, musd, wdt, econ, scal
+        v_this, rowsum, graw, praw = local(
+            factors_t, fprev_t, v_next_t, cwa_t, vbar, musd, wdt, econ, scal
         )
-        return v_this, rowsum / true_sims
+        return v_this, rowsum / true_sims, graw, praw
 
     from jax.sharding import PartitionSpec as P
 
     axis_name = axis_name or mesh.axis_names[0]
     ndev = mesh.devices.size
 
-    def body(f, v, cw, vb, ms, w, ec, sc):
-        v_out, rowsum = local(f, v, cw, vb, ms, w, ec, sc)
-        return v_out, jax.lax.psum(rowsum, axis_name)
+    def body(f, fp, v, cw, vb, ms, w, ec, sc):
+        v_out, rowsum, graw, praw = local(f, fp, v, cw, vb, ms, w, ec, sc)
+        return (
+            v_out,
+            jax.lax.psum(rowsum, axis_name),
+            jax.lax.psum(graw, axis_name),
+            jax.lax.psum(praw, axis_name),
+        )
 
     sharded = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(
-            P(None, axis_name), P(None, axis_name), P(), P(), P(), P(), P(), P(),
+            P(None, axis_name), P(None, axis_name), P(None, axis_name),
+            P(), P(), P(), P(), P(), P(),
         ),
-        out_specs=(P(None, axis_name), P()),
+        out_specs=(P(None, axis_name), P(), P(), P()),
         check_vma=False,
     )
-    v_this, rowsum = sharded(
-        factors_t, v_next_t, cwa_t, vbar, musd, wdt, econ, scal
+    v_this, rowsum, graw, praw = sharded(
+        factors_t, fprev_t, v_next_t, cwa_t, vbar, musd, wdt, econ, scal
     )
-    return v_this, rowsum / (true_sims * ndev)
+    return v_this, rowsum / (true_sims * ndev), graw, praw
+
+
+def assemble_regression(graw, praw, musd_approx, delta, num_sims,
+                        ridge: float = 1e-6, eps: float = 1e-12):
+    """Exact regression solve from the kernel's approximate-standardized
+    partials.
+
+    The kernel emitted, for the previous period's design matrix X (columns b)
+    approx-standardized as ``z_b = (x_b - m_b) / s_b`` with a trailing ones
+    row (index B):
+
+      ``graw = [Z; 1] [Z; 1]'``  and  ``praw = [Z; 1] (V - c)'``
+
+    where ``c`` is the next-period sim-mean used for in-kernel centring and
+    ``delta = vbar_new - c`` re-centres the target onto the new surface's own
+    mean.  Because every properly-standardized column ``Xs_b = (x_b -
+    mu_b)/sd_b`` is AFFINE in ``z_b`` (``Xs_b = alpha_b z_b + beta_b``), the
+    exact standardized Gram/RHS — including the reference's constant-column
+    pass-through (``storage_tpu.ops.regression.standardize_columns``) —
+    assemble in closed form from these sums.  Mirrors
+    :func:`storage_tpu.ops.regression.fit_continuation` (ridge scaling, f32
+    Cholesky, NaN fallback to the zero/centred fit).
+
+    Returns ``(coeffs [B, G], mu [B], sd [B])``.
+    """
+    B = graw.shape[0] - 1
+    S = num_sims
+    m_a, s_a = musd_approx[0], musd_approx[1]
+
+    zbar = graw[B, :B] / S
+    ez2 = jnp.diagonal(graw)[:B] / S
+    var_z = jnp.maximum(ez2 - zbar * zbar, 0.0)
+    mu = m_a + s_a * zbar
+    sd = s_a * jnp.sqrt(var_z)
+    is_const = sd <= eps * (1.0 + jnp.abs(mu))
+    mu = jnp.where(is_const, 0.0, mu)
+    sd = jnp.where(is_const, 1.0, sd)
+
+    # Xs_b = alpha_b z_b + beta_b with the final (mu, sd).
+    alpha = s_a / sd
+    beta = (m_a - mu) / sd
+    g = graw[:B, :B]
+    gz1 = graw[:B, B]  # sum of z_b
+    gram = (
+        alpha[:, None] * alpha[None, :] * g
+        + alpha[:, None] * beta[None, :] * gz1[:, None]
+        + beta[:, None] * alpha[None, :] * gz1[None, :]
+        + S * beta[:, None] * beta[None, :]
+    )
+    # Xs' (V - vbar_new): re-centre the target by delta via the column sums.
+    xs_colsum = alpha * gz1 + S * beta  # [B]
+    rhs = (
+        alpha[:, None] * praw[:B, :]
+        + beta[:, None] * praw[B, :][None, :]
+        - xs_colsum[:, None] * delta[None, :]
+    )
+    gram = gram + (ridge * S) * jnp.eye(B, dtype=gram.dtype)
+    cho = jax.scipy.linalg.cho_factor(gram)
+    coeffs = jax.scipy.linalg.cho_solve(cho, rhs)
+    return jnp.where(jnp.isfinite(coeffs), coeffs, 0.0), mu, sd
 
 
 def pick_backward_block(num_sims: int, num_grid: int) -> int:
