@@ -1,0 +1,146 @@
+"""Excel-UDF facade tests (storage_tpu.excel vs the add-in's function surface,
+reference src/Cmdty.Storage.Excel: MultiFactorXl.cs, IntrinsicXl.cs,
+TrinomialXl.cs, StorageExcelHelper.cs)."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from storage_tpu import excel
+from storage_tpu import intrinsic_value, three_factor_seasonal_value
+
+
+RATCHET_RANGE = [
+    # date, inventory, inject_rate, withdraw_rate (positive, sheet convention)
+    ["2021-04-01", 0.0, 255.0, 310.0],
+    ["2021-04-01", 1500.0, 255.0, 310.0],
+]
+
+
+def date_range_2d(series: pd.Series):
+    return [[str(p), float(v)] for p, v in series.items()]
+
+
+@pytest.fixture(scope="module")
+def curves():
+    idx = pd.period_range("2021-04-01", "2021-07-01", freq="D")
+    fwd = pd.Series(20.0 + 2.0 * np.sin(np.arange(len(idx)) / 7.0), index=idx)
+    rates = pd.Series(0.02, index=idx)
+    return fwd, rates
+
+
+class TestCreateStorage:
+    def test_creates_and_caches_by_name(self):
+        handle = excel.create_storage(
+            "store1", "2021-04-01", "2021-07-01", RATCHET_RANGE,
+            "PiecewiseLinear", 0.01, 0.0, 0.025, 0.0,
+        )
+        assert handle == "store1"
+        storage = excel.storage_cache.get("store1")
+        assert storage.max_inventory(storage.start) == pytest.approx(1500.0)
+        lo, hi = storage.inject_withdraw_range(storage.start, 750.0)
+        assert hi == pytest.approx(255.0)
+        assert lo == pytest.approx(-310.0)
+
+    def test_two_date_groups(self):
+        rng = RATCHET_RANGE + [
+            ["2021-06-01", 0.0, 100.0, 150.0],
+            ["2021-06-01", 1500.0, 100.0, 150.0],
+        ]
+        excel.create_storage(
+            "store2", "2021-04-01", "2021-07-01", rng,
+            "PiecewiseLinear", 0.01, 0.0, 0.025, 0.0,
+        )
+        storage = excel.storage_cache.get("store2")
+        june = pd.Period("2021-06-02", "D")
+        _, hi = storage.inject_withdraw_range(june, 750.0)
+        assert hi == pytest.approx(100.0)
+
+    def test_blank_row_terminates_range(self):
+        rng = RATCHET_RANGE + [["", None, None, None], ["2021-06-01", 0.0, 1.0, 1.0]]
+        excel.create_storage(
+            "store3", "2021-04-01", "2021-07-01", rng,
+            "PiecewiseLinear", 0.01,
+        )
+        storage = excel.storage_cache.get("store3")
+        _, hi = storage.inject_withdraw_range(pd.Period("2021-06-02", "D"), 750.0)
+        assert hi == pytest.approx(255.0)  # second table never parsed
+
+    def test_bad_interp_returns_hash_error_string(self):
+        out = excel.create_storage(
+            "bad", "2021-04-01", "2021-07-01", RATCHET_RANGE, "Cubic", 0.01,
+        )
+        assert isinstance(out, str) and out.startswith("#ERROR!")
+        assert "not recognised" in out
+
+
+class TestThreeFactorAsync:
+    def test_async_calc_matches_direct_call(self, curves):
+        fwd, rates = curves
+        excel.create_storage(
+            "s3f", "2021-04-01", "2021-07-01", RATCHET_RANGE,
+            "PiecewiseLinear", 0.01, 0.0, 0.025, 0.0,
+        )
+        handle = excel.storage_value_three_factor(
+            "calc1", "s3f", "2021-04-01", 700.0,
+            date_range_2d(fwd), date_range_2d(rates),
+            spot_vol=0.8, spot_mean_reversion=12.0,
+            long_term_vol=0.2, seasonal_vol=0.3,
+            discount_deltas=False, settle_dates=None,
+            num_sims=256, basis_functions="1 + s + x_st + x_lt + x_sw",
+            seed=7, fwd_sim_seed=8,
+        )
+        assert handle == "calc1"
+        task = excel.calc_cache.get("calc1")
+        results = task.result(timeout=600)
+        assert excel.subscribe_status("calc1") == "success"
+        assert excel.subscribe_progress("calc1") == pytest.approx(1.0)
+        npv = excel.subscribe_result_property("calc1", "npv")
+        assert npv == pytest.approx(results.npv)
+
+        direct = three_factor_seasonal_value(
+            excel.storage_cache.get("s3f"), "2021-04-01", 700.0, fwd, rates, None,
+            spot_mean_reversion=12.0, spot_vol=0.8, long_term_vol=0.2,
+            seasonal_vol=0.3, num_sims=256,
+            basis_funcs="1 + s + x_st + x_lt + x_sw",
+            discount_deltas=False, seed=7, fwd_sim_seed=8,
+        )
+        assert npv == pytest.approx(direct.npv, rel=1e-6)
+
+    def test_result_property_for_missing_handle_is_error_string(self):
+        out = excel.subscribe_result_property("nope", "npv")
+        assert isinstance(out, str) and out.startswith("#ERROR!")
+
+
+class TestSyncUdfs:
+    def test_intrinsic_udf_matches_engine(self, curves):
+        fwd, rates = curves
+        npv = excel.storage_intrinsic_value(
+            "2021-04-01", "2021-04-01", "2021-07-01", RATCHET_RANGE,
+            "PiecewiseLinear", 0.01, 0.0, 0.025, 0.0, 700.0,
+            date_range_2d(fwd), date_range_2d(rates),
+        )
+        assert isinstance(npv, float)
+        direct = intrinsic_value(
+            excel.storage_cache.get("__intrinsic_tmp__"), "2021-04-01", 700.0,
+            fwd, rates, None,
+        )
+        assert npv == pytest.approx(direct.npv, rel=1e-9)
+
+    def test_trinomial_udf_returns_float(self, curves):
+        fwd, rates = curves
+        vol = pd.Series(0.6, index=fwd.index)
+        npv = excel.storage_value_trinomial_tree(
+            "2021-04-01", "2021-04-01", "2021-07-01", RATCHET_RANGE,
+            "PiecewiseLinear", 0.01, 0.0, 0.025, 0.0, 700.0,
+            date_range_2d(fwd), date_range_2d(vol), 10.0,
+            date_range_2d(rates),
+        )
+        assert isinstance(npv, float) and np.isfinite(npv)
+
+    def test_settlement_rule_from_range(self):
+        rule = excel._settlement_rule(
+            [["2021-04", "2021-05-20"], ["2021-05", "2021-06-21"]]
+        )
+        assert rule(pd.Period("2021-04-11", "D")) == pd.Period("2021-05-20", "D")
+        with pytest.raises(ValueError, match="No settlement date"):
+            rule(pd.Period("2021-07-01", "D"))
