@@ -735,6 +735,13 @@ def _chunk_bounds(n: int, num_chunks: int) -> List[Tuple[int, int]]:
 # the carried value matrix silently comes back all-zero.  Splitting into
 # sub-scans below this budget inside the same program is loss-free.
 _MAX_SCAN_ELEMENTS = 1_000_000_000
+# The failure mode is in XLA's dense scan lowering; the Pallas backward path
+# updates the carry through an aliased custom call instead and measures clean
+# 17x past the old threshold (1M sims x 365 steps x 100 grid = 3.65e10,
+# npv/vbar healthy; chunking it costs ~10% wall and 3-4x compile time).  Its
+# budget is effectively unlimited, with `_check_backward_health` still
+# probing every run for the zeroed-surface signature.
+_MAX_SCAN_ELEMENTS_PALLAS = 1_000_000_000_000
 
 
 def _check_backward_health(coeffs, vbars) -> None:
@@ -759,9 +766,12 @@ def _check_backward_health(coeffs, vbars) -> None:
         )
 
 
-def _overflow_safe_spans(num_steps: int, num_sims: int, num_grid: int) -> List[Tuple[int, int]]:
+def _overflow_safe_spans(
+    num_steps: int, num_sims: int, num_grid: int, pallas: bool = False
+) -> List[Tuple[int, int]]:
+    budget = _MAX_SCAN_ELEMENTS_PALLAS if pallas else _MAX_SCAN_ELEMENTS
     per_step = max(1, num_sims * num_grid)
-    max_steps = max(1, _MAX_SCAN_ELEMENTS // per_step)
+    max_steps = max(1, budget // per_step)
     num_chunks = -(-num_steps // max_steps)
     return _chunk_bounds(num_steps, num_chunks)
 
@@ -816,7 +826,7 @@ def _backward_program(
     scan_fn = backward_scan if pallas is None else partial(
         backward_scan_pallas, block_sims=pallas[0], interpret=pallas[1], mesh=mesh
     )
-    for a, b in reversed(_overflow_safe_spans(m, num_sims, G)):
+    for a, b in reversed(_overflow_safe_spans(m, num_sims, G, pallas is not None)):
         lo_k, hi_k = first + a, first + b
         v, coeffs_c, mus_c, sds_c, vbars_c = scan_fn(
             v,

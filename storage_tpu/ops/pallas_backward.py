@@ -274,6 +274,11 @@ def _backward_update_local(
             jax.ShapeDtypeStruct((num_blocks, B + 1, B + 1), jnp.float32),
             jax.ShapeDtypeStruct((num_blocks, B + 1, num_grid), jnp.float32),
         ],
+        # The new surface overwrites the old in place: block i's input is
+        # fully VMEM-resident before block i's output DMA starts, and the
+        # block index maps are identical, so aliasing is safe — without it
+        # XLA copies the 100s-of-MB carry once per scan step.
+        input_output_aliases={2: 0},
         interpret=interpret,
     )(factors_t, fprev_t, v_next_t, cwa_t, vbar, musd, wdt, econ, scal)
 
