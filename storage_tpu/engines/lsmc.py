@@ -193,7 +193,10 @@ def _backward_step_core(
         inv_cost_rate, df_settle, df_start, extra_decisions,
     )
     j, w = fractional_index(econ.inventory_after, next_lo, next_hi, num_grid_points)
-    # [G, D] indices/weights onto the next period's grid columns.
+    # [G, D] indices/weights onto the next period's grid columns, weights
+    # 1/128-quantized to match the Pallas path's discretisation (see
+    # backward_scan_pallas — keeps the two backward paths value-identical).
+    w = jnp.round(w * 128.0) / 128.0
 
     num_decisions = econ.decisions.shape[-1]
     best_fitted_total = None
@@ -368,6 +371,13 @@ def backward_scan_pallas(
             extra_decisions,
         )
         j, w = fractional_index(econ.inventory_after, lo, hi, G)  # [G, D]
+        # Quantize the interpolation weights to multiples of 1/128 so BOTH w
+        # and 1-w are exactly bfloat16-representable: the kernel's actual-
+        # surface product then needs only two bf16 MXU passes (M @ v_hi +
+        # M @ v_lo) with no weight-rounding residual, and the weights still
+        # sum to exactly 1 (no bias on constant surfaces).  The ~0.8%-of-a-
+        # grid-cell weight shift is discretisation-level noise.
+        w = jnp.round(w * 128.0) / 128.0
         # M_d [G_query, G_next]: row g holds the two interpolation weights of
         # query point g on the next grid (the kernel computes M_d @ V').
         wdt = jnp.stack(
@@ -378,14 +388,26 @@ def backward_scan_pallas(
             ],
             axis=0,
         )  # [D, G, G]
-        econ_pack = jnp.stack([econ.price_coeff.T, econ.cost_npv.T], axis=0)
-        ctab = jnp.concatenate([coeffs, vbar_next[None, :]], axis=0)  # [B+1, G_next]
-        # Associativity fold: interp_d of the fitted surface == Xn1' applied
-        # to (M_d @ ctab') — precomputing the tiny [G, G] @ [G_next, B+1]
-        # products removes HALF the kernel's big [G, G] x [G, bS] matmuls.
-        cwa_t = jnp.einsum(
-            "dqn,bn->dqb", wdt, ctab, precision=jax.lax.Precision.HIGHEST,
-        )  # [D, G, B+1]
+        # Augmented decision tables [D, G, B+2]: associativity-fold the
+        # fitted interpolation through the coefficients (columns 0..B-1 =
+        # M_d @ coeffs') AND fold the immediate economics into the same
+        # matmul via the kernel design row's trailing ones/spot rows:
+        # column B = M_d @ vbar - cost_npv (the shared affine offset),
+        # column B+1 = price_coeff (multiplies the spot row).
+        cwa_x = jnp.einsum(
+            "dqn,bn->dqb", wdt, coeffs, precision=jax.lax.Precision.HIGHEST,
+        )  # [D, G, B]
+        vbar_d = jnp.einsum(
+            "dqn,n->dq", wdt, vbar_next, precision=jax.lax.Precision.HIGHEST,
+        )  # [D, G]
+        cwa_t = jnp.concatenate(
+            [
+                cwa_x,
+                (vbar_d - econ.cost_npv.T)[..., None],
+                econ.price_coeff.T[..., None],
+            ],
+            axis=-1,
+        )  # [D, G, B+2]
         musd = jnp.stack([mu, sd], axis=0)
         scal = jnp.stack(
             [jnp.concatenate([drift[None], vols]),
@@ -396,12 +418,12 @@ def backward_scan_pallas(
         # Kernel refs are typed by out_shape: pin every operand to f32 so
         # weak-type promotion (e.g. under jax_enable_x64) can't feed the f32
         # kernel f64 inputs.
-        f, f_prev, wdt, econ_pack, cwa_t, vbar_in, musd, scal = (
+        f, f_prev, wdt, cwa_t, vbar_in, musd, scal = (
             jnp.asarray(a, jnp.float32)
-            for a in (f, f_prev, wdt, econ_pack, cwa_t, vbar_in, musd, scal)
+            for a in (f, f_prev, wdt, cwa_t, vbar_in, musd, scal)
         )
         return pallas_backward_update(
-            f, f_prev, v_next_t, cwa_t, vbar_in, musd, wdt, econ_pack, scal,
+            f, f_prev, v_next_t, cwa_t, vbar_in, musd, wdt, scal,
             spec=spec, num_grid=G, block_sims=block_sims, true_sims=true_local,
             interpret=interpret, precision=precision, mesh=mesh,
         ), musd

@@ -24,10 +24,12 @@ transposes once at entry/exit.
 
 The fitted continuation never pays a ``[G, G]`` product: the interpolation
 is associativity-folded into the coefficient table
-(``interp_d(Xn' C') == (M_d @ C') Xn1``, with ``cwa_t[d] = M_d @ ctab.T``
-precomputed by XLA), leaving one skinny ``[G, B+1] x [B+1, bS]`` dot per
+(``interp_d(Xn' C') == (M_d @ C') Xn1``) and the immediate economics fold
+into the SAME skinny dot through trailing ones/spot rows of the design, so
+``immediate + fitted`` is one ``[G, B+2] x [B+2, bS]`` MXU product per
 decision.  Only the ACTUAL surface pays the big ``[G, G] x [G, bS]``
-product, in a hand-rolled bf16x3 split (Mosaic lowers only DEFAULT/HIGHEST).
+product — a 6-pass HIGHEST f32 dot on the vbar-centred surface (no VPU-side
+split/add chains; both engine precision modes share this path).
 
 It also emits per-block row sums of the new surface, so the scan body can
 carry the sim-mean ``vbar`` (used to centre the next regression target —
@@ -35,7 +37,7 @@ f32 accumulation of uncentred 1e5-magnitude values loses enough mantissa at
 1e6 paths to degrade the fitted policy) without re-reading ``V`` from HBM.
 
 Works for every ratchet interp kind and any ``extra_decisions`` width: the
-per-grid decision economics are host-of-kernel inputs (computed by
+per-grid decision economics enter through the augmented tables (computed by
 ``engines/common.py::step_economics`` on XLA, they are ``[G, D]`` — tiny).
 """
 from __future__ import annotations
@@ -65,11 +67,10 @@ def _backward_kernel(
     factors_ref,  # [F, bS] (sims on the LANE axis, like every other ref)
     fprev_ref,  # [F, bS] PREVIOUS period's factors (for the next regression)
     v_ref,  # [G, bS] next-period values (transposed surface)
-    cwa_ref,  # [D, G, B+1] interpolated coeff tables (vbar column at index B)
+    cwa_ref,  # [D, G, B+2] augmented decision tables (see backward_scan_pallas)
     vbar_ref,  # [G, 1] sim-mean of the next-period surface
     musd_ref,  # [2, B] standardization mean / scale
     wdt_ref,  # [D, G, G] per-decision interp matrices, M_d (query x next)
-    econ_ref,  # [2, D, G] price_coeff / cost_npv per (decision, grid point)
     scal_ref,  # [2, 1+F] drift, vol loadings for this and the previous period
     v_out_ref,  # out [G, bS] this-period values
     rowsum_ref,  # out [1, G, 1] partial row sums of the new surface
@@ -97,57 +98,55 @@ def _backward_kernel(
 
     spot, f_rows = spot_of(factors_ref, 0)
 
-    # Standardized design row with a trailing ones row, stacked on the
-    # SUBLANE axis ([B+1, bS]) — each [1, bS] lane vector lands on its own
-    # sublane, no relayout (forward-kernel pattern).
+    # Standardized design row with trailing ones AND spot rows, stacked on
+    # the SUBLANE axis ([B+2, bS]) — each [1, bS] lane vector lands on its
+    # own sublane, no relayout (forward-kernel pattern).  The extra rows let
+    # the decision tables fold the immediate-economics affine terms straight
+    # into the fitted matmul (see the cwa layout in backward_scan_pallas).
     cols = _design_row(spec, spot, f_rows)
     xn1 = jnp.concatenate(
         [(cols[b] - musd_ref[0, b]) / musd_ref[1, b] for b in range(B)]
-        + [jnp.ones((1, bS), jnp.float32)],
+        + [jnp.ones((1, bS), jnp.float32), spot],
         axis=0,
-    )  # [B+1, bS]
+    )  # [B+2, bS]
 
-    # Raised matmul precision on the [G, G] x [G, bS] product of the ACTUAL
-    # surface is load-bearing: plain bf16 passes quantize 1e5-magnitude
-    # continuation values by ~0.4%.  The default 'high' mode centres the
-    # surface by vbar (magnitudes drop to the sim spread) and uses the
-    # half-cost bf16x3 split with the v split HOISTED out of the decision
-    # loop; 'highest' keeps full 6-pass dots.
-    high = precision != jax.lax.Precision.HIGHEST
-    v_next = v_ref[...]
-    if high:
-        v_c = v_next - vbar_ref[...]  # [G, bS]
-        v_hi = v_c.astype(jnp.bfloat16)
-        v_lo = (v_c - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    else:
-        v_c = v_next
+    # The [G, G] x [G, bS] actual-surface product: a single bf16 pass would
+    # quantize 1e5-magnitude continuation values by ~0.4%, so the surface is
+    # vbar-CENTRED (magnitudes drop to the sim spread) and split once into
+    # bf16 halves; the interp weights are 1/128-quantized upstream so the
+    # bf16 cast of M_d is EXACT and two passes (M @ v_hi + M @ v_lo) carry
+    # the full ~16-bit effective precision — half the passes of the classic
+    # bf16x3 split and a third of HIGHEST.
+    del precision  # both engine precision modes share this path now
+    v_c = v_ref[...] - vbar_ref[...]  # [G, bS]
+    v_hi = v_c.astype(jnp.bfloat16)
+    v_lo = (v_c - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     best_fitted = None
     best_actual = None
     for d in range(num_decisions):
-        # cwa_t column B is M_d @ vbar: the fitted product includes it via
-        # the ones row of xn1; the actual product adds it back after
-        # centring.
-        fit_d = _mm(cwa_ref[d], xn1, jax.lax.Precision.HIGHEST)  # [G, bS]
-        if high:
-            m = wdt_ref[d]
-            m_hi = m.astype(jnp.bfloat16)
-            m_lo = (m - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            act_d = (
-                _mm(m_hi, v_hi) + _mm(m_lo, v_hi) + _mm(m_hi, v_lo)
-                + cwa_ref[d, :, B][:, None]
-            )
-        else:
-            act_d = _mm(wdt_ref[d], v_c, jax.lax.Precision.HIGHEST)
-        imm = econ_ref[0, d, :][:, None] * spot - econ_ref[1, d, :][:, None]
-        total = imm + fit_d
+        # Fitted total straight off the MXU: columns 0..B-1 of cwa are
+        # M_d @ coeffs', column B (ones row) carries M_d@vbar - cost_npv and
+        # column B+1 (spot row) carries price_coeff, so this product IS
+        # immediate + fitted continuation.
+        total = _mm(cwa_ref[d], xn1, jax.lax.Precision.HIGHEST)
+        # Realised value of the same decision: centred actual continuation
+        # plus the same affine pieces — column B is (M_d@vbar - cost_npv),
+        # which is exactly the act-side offset too since q_d is centred.
+        m16 = wdt_ref[d].astype(jnp.bfloat16)  # exact: weights are k/128
+        q_d = _mm(m16, v_hi) + _mm(m16, v_lo)
+        actual = (
+            q_d
+            + cwa_ref[d, :, B][:, None]
+            + cwa_ref[d, :, B + 1][:, None] * spot
+        )
         if best_fitted is None:  # decision 0 seeds unconditionally (NaN guard)
             best_fitted = total
-            best_actual = imm + act_d
+            best_actual = actual
         else:
             better = total > best_fitted  # first-occurrence argmax
             best_fitted = jnp.where(better, total, best_fitted)
-            best_actual = jnp.where(better, imm + act_d, best_actual)
+            best_actual = jnp.where(better, actual, best_actual)
 
     v_out_ref[...] = best_actual
     rowsum_ref[0, :, :] = jnp.sum(best_actual * valid_f, axis=1, keepdims=True)
@@ -187,11 +186,10 @@ def _backward_update_local(
     factors_t,  # [F, S_local] (lane-padded)
     fprev_t,  # [F, S_local] previous period's factors
     v_next_t,  # [G, S_local] (lane-padded)
-    cwa_t,  # [D, G, B+1]
+    cwa_t,  # [D, G, B+2]
     vbar,  # [G, 1]
     musd,  # [2, B]
     wdt,  # [D, G, G]
-    econ,  # [2, D, G]
     scal,  # [2, 1+F]
     spec: BasisSpec,
     num_grid: int,
@@ -247,13 +245,11 @@ def _backward_update_local(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((num_grid, block_sims), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, num_grid, B + 1), lambda i: (0, 0, 0),
+            pl.BlockSpec((D, num_grid, B + 2), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((num_grid, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((D, num_grid, num_grid), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, D, num_grid), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 1 + num_factors), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -280,7 +276,7 @@ def _backward_update_local(
         # XLA copies the 100s-of-MB carry once per scan step.
         input_output_aliases={2: 0},
         interpret=interpret,
-    )(factors_t, fprev_t, v_next_t, cwa_t, vbar, musd, wdt, econ, scal)
+    )(factors_t, fprev_t, v_next_t, cwa_t, vbar, musd, wdt, scal)
 
     if S_pad != S_in:
         v_this = v_this[:, :S_in]
@@ -302,11 +298,10 @@ def pallas_backward_update(
     factors_t,  # [F, S_pad] lane-padded
     fprev_t,  # [F, S_pad] previous period's factors
     v_next_t,  # [G, S_pad] lane-padded transposed surface
-    cwa_t,  # [D, G, B+1] per-decision M_d @ (coeffs+vbar).T tables
+    cwa_t,  # [D, G, B+2] augmented decision tables (M_d @ coeffs' | affine)
     vbar,  # [G, 1]
     musd,  # [2, B]
     wdt,  # [D, G, G]
-    econ,  # [2, D, G]
     scal,  # [2, 1+F]
     spec: BasisSpec,
     num_grid: int,
@@ -337,7 +332,7 @@ def pallas_backward_update(
     )
     if mesh is None:
         v_this, rowsum, graw, praw = local(
-            factors_t, fprev_t, v_next_t, cwa_t, vbar, musd, wdt, econ, scal
+            factors_t, fprev_t, v_next_t, cwa_t, vbar, musd, wdt, scal
         )
         return v_this, rowsum / true_sims, graw, praw
 
@@ -346,8 +341,8 @@ def pallas_backward_update(
     axis_name = axis_name or mesh.axis_names[0]
     ndev = mesh.devices.size
 
-    def body(f, fp, v, cw, vb, ms, w, ec, sc):
-        v_out, rowsum, graw, praw = local(f, fp, v, cw, vb, ms, w, ec, sc)
+    def body(f, fp, v, cw, vb, ms, w, sc):
+        v_out, rowsum, graw, praw = local(f, fp, v, cw, vb, ms, w, sc)
         return (
             v_out,
             jax.lax.psum(rowsum, axis_name),
@@ -360,13 +355,13 @@ def pallas_backward_update(
         mesh=mesh,
         in_specs=(
             P(None, axis_name), P(None, axis_name), P(None, axis_name),
-            P(), P(), P(), P(), P(), P(),
+            P(), P(), P(), P(), P(),
         ),
         out_specs=(P(None, axis_name), P(), P(), P()),
         check_vma=False,
     )
     v_this, rowsum, graw, praw = sharded(
-        factors_t, fprev_t, v_next_t, cwa_t, vbar, musd, wdt, econ, scal
+        factors_t, fprev_t, v_next_t, cwa_t, vbar, musd, wdt, scal
     )
     return v_this, rowsum / (true_sims * ndev), graw, praw
 
