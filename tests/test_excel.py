@@ -65,6 +65,38 @@ class TestCreateStorage:
         _, hi = storage.inject_withdraw_range(pd.Period("2021-06-02", "D"), 750.0)
         assert hi == pytest.approx(255.0)  # second table never parsed
 
+    def test_step_interpolation(self):
+        rng = [
+            ["2021-04-01", 0.0, 200.0, 100.0],
+            ["2021-04-01", 1000.0, 150.0, 120.0],
+            ["2021-04-01", 1500.0, 150.0, 120.0],
+        ]
+        excel.create_storage(
+            "step1", "2021-04-01", "2021-07-01", rng, "Step", 0.01,
+        )
+        storage = excel.storage_cache.get("step1")
+        p = storage.start
+        # Stepwise: rates switch at the pillar, no interpolation between.
+        assert storage.inject_withdraw_range(p, 500.0).max_inject_withdraw_rate == pytest.approx(200.0)
+        assert storage.inject_withdraw_range(p, 1200.0).max_inject_withdraw_rate == pytest.approx(150.0)
+
+    def test_polynomial_interpolation(self):
+        rng = [
+            ["2021-04-01", 0.0, 100.0, 50.0],
+            ["2021-04-01", 750.0, 180.0, 90.0],
+            ["2021-04-01", 1500.0, 120.0, 130.0],
+        ]
+        excel.create_storage(
+            "poly1", "2021-04-01", "2021-07-01", rng, "Polynomial", 0.01,
+        )
+        storage = excel.storage_cache.get("poly1")
+        p = storage.start
+        # Exact-fit polynomial passes through the pillars...
+        assert storage.inject_withdraw_range(p, 750.0).max_inject_withdraw_rate == pytest.approx(180.0, rel=1e-6)
+        # ...and mid-segment values differ from linear interpolation.
+        mid = storage.inject_withdraw_range(p, 375.0).max_inject_withdraw_rate
+        assert mid != pytest.approx((100.0 + 180.0) / 2.0, abs=1.0)
+
     def test_bad_interp_returns_hash_error_string(self):
         out = excel.create_storage(
             "bad", "2021-04-01", "2021-07-01", RATCHET_RANGE, "Cubic", 0.01,
