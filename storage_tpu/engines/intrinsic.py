@@ -282,12 +282,21 @@ def intrinsic_value(
         cmdty_storage, val_date, float(inventory), forward_curve, interest_rates,
         settlement_rule, num_inventory_grid_points, numerical_tolerance,
     )
+    return intrinsic_value_with_ctx(ctx, extra_decisions, dtype, interpolation)
+
+
+def intrinsic_value_with_ctx(
+    ctx, extra_decisions: int = 0, dtype=jnp.float32, interpolation: str = "linear"
+) -> IntrinsicValuationResults:
+    """Intrinsic valuation on an already-compiled context (lets the LSMC
+    entry point share ONE context build between both engines — the pandas ->
+    step-array compilation is host work worth ~90 ms at daily resolution)."""
     n = ctx.n_steps
     grid_end = ctx.grids[n]
-    if cmdty_storage.terminal_npv_fn is None:
+    if ctx.storage.terminal_npv_fn is None:
         terminal = np.zeros_like(grid_end)
     else:
-        terminal = np.asarray(cmdty_storage.terminal_npv_fn(ctx.fwd[n], grid_end), dtype=np.float64)
+        terminal = np.asarray(ctx.storage.terminal_npv_fn(ctx.fwd[n], grid_end), dtype=np.float64)
         terminal = np.broadcast_to(terminal, grid_end.shape)
 
     values = _backward_values(

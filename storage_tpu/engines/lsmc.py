@@ -774,13 +774,22 @@ def _check_backward_health(coeffs, vbars) -> None:
     material cost at any scale."""
     import logging
 
-    if not bool(jnp.all(jnp.isfinite(coeffs))):
+    # One fetch for both probes: each host read of a device scalar costs a
+    # full round trip on the remote-chip tunnel (~30 ms).
+    finite_f, nonzero_f = np.asarray(
+        jnp.stack([
+            jnp.all(jnp.isfinite(coeffs)).astype(jnp.float32),
+            jnp.any(vbars != 0.0).astype(jnp.float32) if vbars.size
+            else jnp.asarray(1.0, jnp.float32),
+        ])
+    )
+    if not finite_f:
         raise StorageError(
             "Backward induction produced non-finite regression coefficients; "
             "this indicates a numerical failure in the backward scan "
             "(see the _MAX_SCAN_ELEMENTS note in engines/lsmc.py)."
         )
-    if vbars.size and not bool(jnp.any(vbars != 0.0)):
+    if vbars.size and not nonzero_f:
         logging.getLogger("storage_tpu.lsmc").warning(
             "Backward induction value surface is identically zero for every "
             "period - if forward prices are non-zero this is the known "

@@ -217,18 +217,18 @@ def _multi_factor_calc(
             on_progress_update(1.0)
         return _empty_results(freq, npv=npv, intrinsic_npv=npv)
 
-    # Intrinsic calc first (reference multi_factor.py:404-410).
-    logger.info("Calculating intrinsic value.")
-    intrinsic = intrinsic_value(
-        cmdty_storage, val_date, inventory, fwd_curve, interest_rates, settlement_rule,
-        num_inventory_grid_points, numerical_tolerance, dtype=dtype,
-    )
-    logger.info("Calculation of intrinsic value complete.")
-
     ctx = build_valuation_context(
         cmdty_storage, val_date, inventory, fwd_curve, interest_rates, settlement_rule,
         num_inventory_grid_points, numerical_tolerance,
     )
+
+    # Intrinsic calc first (reference multi_factor.py:404-410), sharing the
+    # compiled context with the LSMC run below (one pandas->arrays pass).
+    logger.info("Calculating intrinsic value.")
+    from .engines.intrinsic import intrinsic_value_with_ctx
+
+    intrinsic = intrinsic_value_with_ctx(ctx, dtype=dtype)
+    logger.info("Calculation of intrinsic value complete.")
     n = ctx.n_steps
     first_sim_step = 1 if ctx.val_date_is_first_step else 0
     sim_periods = list(ctx.periods[first_sim_step:])
@@ -291,13 +291,13 @@ def _multi_factor_calc(
     jax.block_until_ready(arrays.npv)
     logger.info("Calculation of LSMC value complete.")
 
-    results = _assemble_results(ctx, arrays, intrinsic, sim_periods,
-                                sims_cache.get("reg"), sims_cache.get("val"),
-                                return_sim_panels)
+    results, backward_npv = _assemble_results(
+        ctx, arrays, intrinsic, sim_periods,
+        sims_cache.get("reg"), sims_cache.get("val"), return_sim_panels)
     logger.info(
         "Forward Pv: %s; Backward Pv: %s",
         f"{results.npv:,.2f}",
-        f"{float(arrays.backward_npv):,.2f}",
+        f"{backward_npv:,.2f}",
     )
     stopwatches.stop("All")
     logger.info("Profiling Report:\n%s", stopwatches.generate_profile_report())
@@ -321,12 +321,37 @@ def _assemble_results(
             return empty_panel
         return pd.DataFrame(panels_np[:, field_idx, :], index=periods)
 
-    deltas = pd.Series(np.asarray(arrays.deltas, dtype=np.float64), index=periods)
+    # ONE device->host transfer for every small output: each individual
+    # np.asarray costs a full tunnel round trip (~30 ms on the remote-chip
+    # link), and there are ten of them — batching turns ~0.4 s of pure
+    # latency into one fetch.
+    small = [
+        arrays.deltas, arrays.profile_means,
+        arrays.trigger_has_inject, arrays.trigger_has_withdraw,
+        arrays.trigger_inject_volumes, arrays.trigger_inject_prices,
+        arrays.trigger_withdraw_volumes, arrays.trigger_withdraw_prices,
+        arrays.npv, arrays.backward_npv,
+    ]
+    shapes = [tuple(a.shape) for a in small]
+    flat = np.asarray(
+        jnp.concatenate(
+            [jnp.asarray(a, jnp.float32).ravel() for a in small]
+        ),
+        dtype=np.float64,
+    )
+    fetched, off = [], 0
+    for shp in shapes:
+        size = int(np.prod(shp)) if shp else 1
+        fetched.append(flat[off : off + size].reshape(shp))
+        off += size
+    (deltas_np, profile_means, has_inj_f, has_wdr_f, inj_vols, inj_prices,
+     wdr_vols, wdr_prices, npv_arr, backward_npv_arr) = fetched
+
+    deltas = pd.Series(deltas_np, index=periods)
 
     # Expected storage profile: reduced over sims ON DEVICE inside the engine;
     # only [n+1, 6] transits the host link (per-sim panels can be GBs at
     # production path counts).
-    profile_means = np.asarray(arrays.profile_means, dtype=np.float64)
     profile = pd.DataFrame(
         {
             "inventory": profile_means[:, 0],
@@ -343,12 +368,8 @@ def _assemble_results(
     # the price at the max inject volume on the inject side, and the price of
     # the smallest withdrawal increment on the withdraw side
     # (LsmcStorageValuation.cs:525-526, 545-554).
-    has_inj = np.asarray(arrays.trigger_has_inject)
-    has_wdr = np.asarray(arrays.trigger_has_withdraw)
-    inj_vols = np.asarray(arrays.trigger_inject_volumes, dtype=np.float64)
-    inj_prices = np.asarray(arrays.trigger_inject_prices, dtype=np.float64)
-    wdr_vols = np.asarray(arrays.trigger_withdraw_volumes, dtype=np.float64)
-    wdr_prices = np.asarray(arrays.trigger_withdraw_prices, dtype=np.float64)
+    has_inj = has_inj_f > 0.5
+    has_wdr = has_wdr_f > 0.5
 
     decision_index = periods[:-1]
     nan = np.nan
@@ -384,8 +405,8 @@ def _assemble_results(
         sim_spot_regress = pd.DataFrame(index=sim_index)
         sim_spot_valuation = pd.DataFrame(index=sim_index)
 
-    return MultiFactorValuationResults(
-        npv=float(arrays.npv),
+    results = MultiFactorValuationResults(
+        npv=float(npv_arr),
         deltas=deltas,
         expected_profile=profile,
         intrinsic_npv=intrinsic.npv,
@@ -401,3 +422,4 @@ def _assemble_results(
         trigger_prices=trigger_prices,
         trigger_profiles=trigger_profiles,
     )
+    return results, float(backward_npv_arr)
