@@ -73,7 +73,6 @@ def _backward_kernel(
     wdt_ref,  # [D, G, G] per-decision interp matrices, M_d (query x next)
     scal_ref,  # [2, 1+F] drift, vol loadings for this and the previous period
     v_out_ref,  # out [G, bS] this-period values
-    rowsum_ref,  # out [1, G, 1] partial row sums of the new surface
     graw_ref,  # out [1, B+1, B+1] raw Gram partials of the PREVIOUS design
     praw_ref,  # out [1, B+1, G] raw cross partials X_prev' (V_out - vbar)
     *,
@@ -149,7 +148,6 @@ def _backward_kernel(
             best_actual = jnp.where(better, actual, best_actual)
 
     v_out_ref[...] = best_actual
-    rowsum_ref[0, :, :] = jnp.sum(best_actual * valid_f, axis=1, keepdims=True)
 
     # Regression partials for the NEXT scan step, computed while the
     # just-written surface is still in VMEM: the previous period's design
@@ -168,6 +166,9 @@ def _backward_kernel(
         + [jnp.ones((1, bS), jnp.float32)],
         axis=0,
     ) * valid_f  # [B+1, bS] approx-standardized, masked
+    # The ones row of praw doubles as the (centred) row sums of the new
+    # surface, so no separate row-sum output is emitted: the caller recovers
+    # the new sim-mean as vbar_next + praw[B] / S.
     v_out_c = best_actual - vbar_ref[...]
     lanes_dn = (((1,), (1,)), ((), ()))
     graw_ref[0, :, :] = jax.lax.dot_general(
@@ -235,7 +236,7 @@ def _backward_update_local(
             else jax.lax.Precision.HIGH
         ),
     )
-    v_this, rowsums, graws, praws = pl.pallas_call(
+    v_this, graws, praws = pl.pallas_call(
         kernel,
         grid=(num_blocks,),
         in_specs=[
@@ -257,8 +258,6 @@ def _backward_update_local(
         out_specs=[
             pl.BlockSpec((num_grid, block_sims), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, num_grid, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B + 1, B + 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B + 1, num_grid), lambda i: (i, 0, 0),
@@ -266,7 +265,6 @@ def _backward_update_local(
         ],
         out_shape=[
             jax.ShapeDtypeStruct((num_grid, S_pad), jnp.float32),
-            jax.ShapeDtypeStruct((num_blocks, num_grid, 1), jnp.float32),
             jax.ShapeDtypeStruct((num_blocks, B + 1, B + 1), jnp.float32),
             jax.ShapeDtypeStruct((num_blocks, B + 1, num_grid), jnp.float32),
         ],
@@ -284,7 +282,7 @@ def _backward_update_local(
     # keeps every partial at sd scale (no raw s**4-magnitude moments).
     graw = jnp.sum(graws, axis=0)
     praw = jnp.sum(praws, axis=0)
-    return v_this, jnp.sum(rowsums, axis=(0, 2)), graw, praw
+    return v_this, graw, praw
 
 
 @functools.partial(
@@ -331,10 +329,11 @@ def pallas_backward_update(
         true_sims=true_sims, interpret=interpret, precision=precision,
     )
     if mesh is None:
-        v_this, rowsum, graw, praw = local(
+        v_this, graw, praw = local(
             factors_t, fprev_t, v_next_t, cwa_t, vbar, musd, wdt, scal
         )
-        return v_this, rowsum / true_sims, graw, praw
+        # New sim-mean from praw's ones row (centred row sums): vbar + d.
+        return v_this, vbar[:, 0] + praw[-1, :] / true_sims, graw, praw
 
     from jax.sharding import PartitionSpec as P
 
@@ -342,10 +341,9 @@ def pallas_backward_update(
     ndev = mesh.devices.size
 
     def body(f, fp, v, cw, vb, ms, w, sc):
-        v_out, rowsum, graw, praw = local(f, fp, v, cw, vb, ms, w, sc)
+        v_out, graw, praw = local(f, fp, v, cw, vb, ms, w, sc)
         return (
             v_out,
-            jax.lax.psum(rowsum, axis_name),
             jax.lax.psum(graw, axis_name),
             jax.lax.psum(praw, axis_name),
         )
@@ -357,13 +355,13 @@ def pallas_backward_update(
             P(None, axis_name), P(None, axis_name), P(None, axis_name),
             P(), P(), P(), P(), P(),
         ),
-        out_specs=(P(None, axis_name), P(), P(), P()),
+        out_specs=(P(None, axis_name), P(), P()),
         check_vma=False,
     )
-    v_this, rowsum, graw, praw = sharded(
+    v_this, graw, praw = sharded(
         factors_t, fprev_t, v_next_t, cwa_t, vbar, musd, wdt, scal
     )
-    return v_this, rowsum / (true_sims * ndev), graw, praw
+    return v_this, vbar[:, 0] + praw[-1, :] / (true_sims * ndev), graw, praw
 
 
 def assemble_regression(graw, praw, musd_approx, delta, num_sims,
