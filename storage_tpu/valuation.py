@@ -304,6 +304,34 @@ def _multi_factor_calc(
     return results
 
 
+def _fetch_panels(panels, max_chunk_bytes: int = 256 * 2**20) -> np.ndarray:
+    """Device->host fetch of the per-sim panels in bounded slices.
+
+    At production path counts the panels are GBs ([n+1, 6, S] f32); a single
+    np.asarray stages the whole tensor through one transfer buffer, which
+    both spikes host memory and (on the remote-chip tunnel) is less robust
+    than a few hundred-MB requests.  Chunking over sims keeps each transfer
+    bounded while writing straight into the final host array.
+    """
+    shape = tuple(panels.shape)
+    S = shape[-1]
+    per_sim = int(np.prod(shape[:-1])) * 4
+    chunk = max(1, max_chunk_bytes // max(per_sim, 1))
+    if S <= chunk:
+        return np.asarray(panels, dtype=np.float64)
+    # One fixed-size jitted slice reused for every chunk (per-chunk python
+    # slicing would compile a distinct program per offset on this backend);
+    # the final chunk overlaps backwards instead of changing shape.
+    slicer = jax.jit(
+        lambda p, s: jax.lax.dynamic_slice_in_dim(p, s, chunk, axis=-1)
+    )
+    out = np.empty(shape, dtype=np.float64)
+    for a in range(0, S, chunk):
+        start = min(a, S - chunk)
+        out[..., start : start + chunk] = np.asarray(slicer(panels, start))
+    return out
+
+
 def _assemble_results(
     ctx, arrays: LsmcArrays, intrinsic, sim_periods, reg_spots_sim, val_spots_sim,
     return_sim_panels: bool = True,
@@ -314,7 +342,7 @@ def _assemble_results(
     empty_panel = pd.DataFrame(index=periods)
 
     if return_sim_panels:
-        panels_np = np.asarray(arrays.panels, dtype=np.float64)  # [n+1, 6, S]
+        panels_np = _fetch_panels(arrays.panels)  # [n+1, 6, S]
 
     def panel(field_idx: int) -> pd.DataFrame:
         if not return_sim_panels:
