@@ -1530,7 +1530,7 @@ def reprice(
 
 def _pick_pallas_block(num_sims: int, max_block: int = 1024) -> Optional[int]:
     """Lane-aligned block size (the kernel pads the sims axis as needed)."""
-    return min(max_block, max(128, -(-num_sims // 128) * 128 if num_sims < 512 else 512))
+    return min(max_block, max(128, -(-num_sims // 128) * 128 if num_sims < 512 else 1024))
 
 
 @partial(
