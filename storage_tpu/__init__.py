@@ -32,10 +32,10 @@ from .engines.tree import (
     trinomial_deltas,
     trinomial_value,
 )
-from .utils.frequencies import SUPPORTED_FREQS
+from .utils.frequencies import FREQ_TO_PERIOD_TYPE, SUPPORTED_FREQS
 from .utils.basis import parse_basis_functions
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 logger: logging.Logger = logging.getLogger("storage_tpu")
 logger.addHandler(logging.NullHandler())
@@ -70,6 +70,7 @@ __all__ = [
     "InventoryConstraintsCannotBeFulfilledError",
     "StorageError",
     "ValuationCancelledError",
+    "FREQ_TO_PERIOD_TYPE",
     "SUPPORTED_FREQS",
     "parse_basis_functions",
     "numerics_provider",

@@ -32,6 +32,12 @@ _FREQ_ALIASES = {
 
 SUPPORTED_FREQS = tuple(_FREQ_ALIASES)
 
+#: Drop-in-compat alias for the reference's ``FREQ_TO_PERIOD_TYPE`` registry
+#: (``cmdty_storage/utils.py:118-133``): the reference maps freq strings to
+#: CLR time-period types; here the "period type" IS the normalized pandas
+#: Period freqstr each alias resolves to.
+FREQ_TO_PERIOD_TYPE = dict(_FREQ_ALIASES)
+
 PeriodLike = Union[str, date, datetime, pd.Period]
 
 
