@@ -396,7 +396,12 @@ def assemble_regression(graw, praw, musd_approx, delta, num_sims,
     var_z = jnp.maximum(ez2 - zbar * zbar, 0.0)
     mu = m_a + s_a * zbar
     sd = s_a * jnp.sqrt(var_z)
-    is_const = sd <= eps * (1.0 + jnp.abs(mu))
+    # Constant-column detection must tolerate the f32 cancellation floor of
+    # E[z^2] - zbar^2 (~1e-7 relative): a column whose variance is below
+    # 1e-5 of its raw second moment is numerically constant and passes
+    # through raw, like ``standardize_columns`` (which sees exact data and
+    # can use a much tighter eps).
+    is_const = var_z <= jnp.maximum(1e-5 * ez2, eps)
     mu = jnp.where(is_const, 0.0, mu)
     sd = jnp.where(is_const, 1.0, sd)
 

@@ -109,3 +109,60 @@ class TestBackwardKernelParity:
         rel = np.abs(np.asarray(v_p) - np.asarray(v_x)) / scale
         assert np.quantile(rel, 0.995) < 1e-4
         assert rel.max() < 0.02
+
+
+class TestAssembleRegression:
+    """Direct check of the closed-form affine re-standardization: the exact
+    standardized normal equations must be recoverable from approx-standardized
+    raw partials (ones row carrying column sums), including the constant-
+    column pass-through and the rank-one target re-centring."""
+
+    @pytest.mark.parametrize("const_col", [False, True])
+    def test_matches_direct_normal_equations(self, const_col):
+        from storage_tpu.ops.pallas_backward import assemble_regression
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(3)
+        S, B, G = 500, 4, 7
+        X = rng.standard_normal((S, B)) * [1.5, 0.2, 3.0, 0.8] + [2.0, -1.0, 10.0, 0.0]
+        if const_col:
+            # Exactly f32-representable constant: mean/std are then exact
+            # and BOTH standardizations flag it (non-representable constants
+            # like 4.2 leave standardize_columns with sd ~ 1e-6 from f32
+            # mean-accumulation jitter — a pre-existing quirk the partials
+            # path actually handles more robustly via its relative
+            # variance threshold).
+            X[:, 1] = 2.0
+        V = rng.standard_normal((S, G)) * 50.0 + 1000.0
+        vbar_new = V.mean(axis=0)
+        c_prev = vbar_new + rng.standard_normal(G)  # arbitrary stale centring
+
+        # Approximate standardization with DIFFERENT (shifted) stats, as the
+        # kernel uses the adjacent period's moments.
+        m_a = X.mean(axis=0) + 0.1 * rng.standard_normal(B)
+        s_a = X.std(axis=0) * (1.0 + 0.05 * rng.standard_normal(B))
+        s_a = np.where(np.abs(s_a) < 1e-9, 1.0, s_a)
+        Z1 = np.concatenate([(X - m_a) / s_a, np.ones((S, 1))], axis=1)
+        graw = Z1.T @ Z1
+        praw = Z1.T @ (V - c_prev)
+
+        coeffs, mu, sd = assemble_regression(
+            jnp.asarray(graw, jnp.float32), jnp.asarray(praw, jnp.float32),
+            jnp.asarray(np.stack([m_a, s_a]), jnp.float32),
+            jnp.asarray(vbar_new - c_prev, jnp.float32), S,
+        )
+
+        # Direct reference: standardize_columns + ridge normal equations.
+        from storage_tpu.ops.regression import standardize_columns
+
+        Xs_ref, mu_ref, sd_ref = standardize_columns(jnp.asarray(X, jnp.float32))
+        np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref), rtol=2e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(sd), np.asarray(sd_ref), rtol=2e-4)
+        Xs_ref = np.asarray(Xs_ref, np.float64)
+        gram_ref = Xs_ref.T @ Xs_ref + 1e-6 * S * np.eye(B)
+        rhs_ref = Xs_ref.T @ (V - vbar_new)
+        coeffs_ref = np.linalg.solve(gram_ref, rhs_ref)
+        scale = np.abs(coeffs_ref).max()
+        np.testing.assert_allclose(
+            np.asarray(coeffs), coeffs_ref, atol=5e-4 * scale, rtol=5e-4
+        )
