@@ -176,3 +176,42 @@ class TestSyncUdfs:
         assert rule(pd.Period("2021-04-11", "D")) == pd.Period("2021-05-20", "D")
         with pytest.raises(ValueError, match="No settlement date"):
             rule(pd.Period("2021-07-01", "D"))
+
+
+class TestSettleDatesInCalc:
+    def test_three_factor_with_settlement_table(self, curves):
+        fwd, rates = curves
+        excel.create_storage(
+            "s3f_settle", "2021-04-01", "2021-07-01", RATCHET_RANGE,
+            "PiecewiseLinear", 0.01, 0.0, 0.025, 0.0,
+        )
+        settle_rows = [
+            [f"2021-{m:02d}", f"2021-{m + 1:02d}-20"] for m in (4, 5, 6, 7)
+        ]
+        # Settlement lags push cash flows past the delivery window: the rate
+        # curve must cover them.
+        long_rates = pd.Series(
+            0.02, index=pd.period_range("2021-04-01", "2021-09-01", freq="D")
+        )
+        handle = excel.storage_value_three_factor(
+            "calc_settle", "s3f_settle", "2021-04-01", 700.0,
+            date_range_2d(fwd), date_range_2d(long_rates),
+            spot_vol=0.8, spot_mean_reversion=12.0,
+            long_term_vol=0.2, seasonal_vol=0.3,
+            discount_deltas=True, settle_dates=settle_rows,
+            num_sims=128, basis_functions="1 + s + x_st", seed=9,
+        )
+        assert handle == "calc_settle"
+        task = excel.calc_cache.get("calc_settle")
+        results = task.result(timeout=600)
+        assert np.isfinite(results.npv)
+        # Settlement lag must bite: same valuation with an immediate-settle
+        # rule discounts the cash flows less.
+        direct = three_factor_seasonal_value(
+            excel.storage_cache.get("s3f_settle"), "2021-04-01", 700.0,
+            fwd, long_rates, None,
+            spot_mean_reversion=12.0, spot_vol=0.8, long_term_vol=0.2,
+            seasonal_vol=0.3, num_sims=128, basis_funcs="1 + s + x_st",
+            discount_deltas=True, seed=9,
+        )
+        assert results.npv != pytest.approx(direct.npv, rel=1e-6)
