@@ -107,17 +107,29 @@ def run(num_sims: int) -> dict:
     # Warm-up compiles all kernels for these static shapes.  If the tunnel's
     # remote-compile helper rejects the whole-horizon programs (it 500s
     # sporadically at the largest shapes), fall back to the chunked
-    # multi-program driver, which computes the same thing.
+    # multi-program driver, which computes the same thing.  The swallowed
+    # exception is logged and the fallback surfaced in the JSON so a real
+    # whole-horizon-program regression cannot hide as a slower number.
     sink = None
+    fallback = False
     try:
         results = once(seed=12)
-    except Exception:
-        sink = lambda p: None  # noqa: E731 - chunked-driver fallback
+    except Exception as exc:  # noqa: BLE001 - chunked-driver fallback
+        print(
+            f"# whole-horizon warm-up failed, falling back to chunked driver: "
+            f"{type(exc).__name__}: {exc}",
+            file=sys.stderr,
+        )
+        fallback = True
+        sink = lambda p: None  # noqa: E731
         results = once(seed=12, progress_sink=sink)
     t0 = time.perf_counter()
     results = once(seed=13, progress_sink=sink)
     wall = time.perf_counter() - t0
-    return {"wall": wall, "npv": results.npv, "intrinsic": results.intrinsic_npv}
+    return {
+        "wall": wall, "npv": results.npv, "intrinsic": results.intrinsic_npv,
+        "fallback": fallback,
+    }
 
 
 def main() -> None:
@@ -126,11 +138,25 @@ def main() -> None:
     num_chips = jax.device_count()
 
     for num_sims in (1_000_000, 500_000, 250_000):
-        try:
-            out = run(num_sims)
+        # A shared chip can be transiently out of HBM while another tenant
+        # holds it (observed: RESOURCE_EXHAUSTED at every path count within
+        # seconds).  Retry with a wait before concluding the size is too big.
+        out = None
+        for attempt in range(3):
+            try:
+                out = run(num_sims)
+                break
+            except Exception as exc:  # noqa: BLE001 - OOM fallbacks
+                print(
+                    f"# {num_sims} paths attempt {attempt + 1} failed: "
+                    f"{type(exc).__name__}: {exc}",
+                    file=sys.stderr,
+                )
+                if "RESOURCE_EXHAUSTED" not in str(exc):
+                    break
+                time.sleep(60)
+        if out is not None:
             break
-        except Exception as exc:  # noqa: BLE001 - OOM fallbacks
-            print(f"# {num_sims} paths failed: {type(exc).__name__}: {exc}", file=sys.stderr)
     else:
         print(json.dumps({"metric": "lsmc bench failed", "value": 0, "unit": "s", "vs_baseline": 0.0}))
         return
@@ -156,6 +182,7 @@ def main() -> None:
                 "value": round(out["wall"], 3),
                 "unit": "s",
                 "vs_baseline": round(north_star_budget_s / out["wall"], 3),
+                "fallback": out["fallback"],
             }
         )
     )

@@ -168,6 +168,7 @@ def _backward_step_core(
     interp_kind: int,
     num_grid_points: int,
     extra_decisions: int,
+    quantize_weights: bool,
 ):
     """One backward-induction period (reference :166-340).
 
@@ -193,10 +194,16 @@ def _backward_step_core(
         inv_cost_rate, df_settle, df_start, extra_decisions,
     )
     j, w = fractional_index(econ.inventory_after, next_lo, next_hi, num_grid_points)
-    # [G, D] indices/weights onto the next period's grid columns, weights
-    # 1/128-quantized to match the Pallas path's discretisation (see
-    # backward_scan_pallas — keeps the two backward paths value-identical).
-    w = jnp.round(w * 128.0) / 128.0
+    # [G, D] indices/weights onto the next period's grid columns.  With
+    # quantize_weights the weights are 1/128-quantized to match the Pallas
+    # kernel's discretisation (see backward_scan_pallas), keeping the two
+    # backward paths value-identical for parity testing; the engine's XLA
+    # fallback (CPU / f64 / kernels off) uses EXACT weights, matching the
+    # reference's exact linear interpolation.  The quantization error is
+    # bounded by tests/test_lsmc.py::TestWeightQuantization and documented
+    # in docs/valuation_math.md.
+    if quantize_weights:
+        w = jnp.round(w * 128.0) / 128.0
 
     num_decisions = econ.decisions.shape[-1]
     best_fitted_total = None
@@ -237,7 +244,10 @@ def _backward_step_core(
 
 @partial(
     jax.jit,
-    static_argnames=("spec", "interp_kind", "num_grid_points", "extra_decisions"),
+    static_argnames=(
+        "spec", "interp_kind", "num_grid_points", "extra_decisions",
+        "quantize_weights",
+    ),
 )
 def backward_scan(
     v_init,  # [S, G] value at the period AFTER the last one in this chunk
@@ -260,6 +270,7 @@ def backward_scan(
     interp_kind: int,
     num_grid_points: int,
     extra_decisions: int,
+    quantize_weights: bool = True,
 ):
     """Reverse scan over a chunk of periods.  Inputs are time-ordered; the scan
     runs backwards.  Returns final carry + per-period regression data."""
@@ -273,6 +284,7 @@ def backward_scan(
             v_next, spot, f, grid, lo, hi, pil, lo_r, ic, wc, ci, cw, icr, dfs, df0,
             spec=spec, interp_kind=interp_kind,
             num_grid_points=num_grid_points, extra_decisions=extra_decisions,
+            quantize_weights=quantize_weights,
         )
         return v_this, (coeffs, mu, sd, vbar)
 
@@ -289,7 +301,7 @@ def backward_scan(
     jax.jit,
     static_argnames=(
         "spec", "interp_kind", "num_grid_points", "extra_decisions",
-        "block_sims", "interpret", "precision", "mesh",
+        "block_sims", "interpret", "mesh",
     ),
 )
 def backward_scan_pallas(
@@ -315,7 +327,6 @@ def backward_scan_pallas(
     extra_decisions: int,
     block_sims: int,
     interpret: bool = False,
-    precision: str = "high",
     mesh=None,
 ):
     """:func:`backward_scan` with the value update fused into the Pallas
@@ -425,7 +436,7 @@ def backward_scan_pallas(
         return pallas_backward_update(
             f, f_prev, v_next_t, cwa_t, vbar_in, musd, wdt, scal,
             spec=spec, num_grid=G, block_sims=block_sims, true_sims=true_local,
-            interpret=interpret, precision=precision, mesh=mesh,
+            interpret=interpret, mesh=mesh,
         ), musd
 
     def slice_xs(all_xs, k):
@@ -770,31 +781,50 @@ def _check_backward_health(coeffs, vbars) -> None:
     """Cheap post-run probe for the silent-zeroing backend failure that
     motivated ``_MAX_SCAN_ELEMENTS``: if a backend update moves the overflow
     threshold, the carried value surface comes back all-zero (vbars == 0 for
-    every period) or the f32 solve NaNs.  Two device-side reductions — no
-    material cost at any scale."""
-    import logging
+    every period) or NaNs.  ``vbars`` (the per-period sim-means of the value
+    surface) is the right signal for both probes — unlike the regression
+    coefficients it is never NaN-sanitised upstream, so a numerical blow-up
+    actually reaches it.  Three device-side reductions, one fetch — no
+    material cost at any scale.
 
-    # One fetch for both probes: each host read of a device scalar costs a
+    A genuinely worthless facility (zero value at every grid point of every
+    period) trips the same signature; set ``STORAGE_TPU_ALLOW_ZERO_SURFACE=1``
+    to downgrade the zero-surface error to a warning for such cases.
+    """
+    import logging
+    import os
+
+    # One fetch for all probes: each host read of a device scalar costs a
     # full round trip on the remote-chip tunnel (~30 ms).
-    finite_f, nonzero_f = np.asarray(
+    finite_c, finite_v, nonzero_v = np.asarray(
         jnp.stack([
             jnp.all(jnp.isfinite(coeffs)).astype(jnp.float32),
+            jnp.all(jnp.isfinite(vbars)).astype(jnp.float32),
             jnp.any(vbars != 0.0).astype(jnp.float32) if vbars.size
             else jnp.asarray(1.0, jnp.float32),
         ])
     )
-    if not finite_f:
+    if not (finite_c and finite_v):
         raise StorageError(
-            "Backward induction produced non-finite regression coefficients; "
-            "this indicates a numerical failure in the backward scan "
-            "(see the _MAX_SCAN_ELEMENTS note in engines/lsmc.py)."
+            "Backward induction produced non-finite values "
+            f"(regression coefficients finite: {bool(finite_c)}, value-surface "
+            f"means finite: {bool(finite_v)}); this indicates a numerical "
+            "failure in the backward scan (see the _MAX_SCAN_ELEMENTS note in "
+            "engines/lsmc.py)."
         )
-    if vbars.size and not nonzero_f:
-        logging.getLogger("storage_tpu.lsmc").warning(
+    if vbars.size and not nonzero_v:
+        msg = (
             "Backward induction value surface is identically zero for every "
-            "period - if forward prices are non-zero this is the known "
-            "scan-overflow backend failure (engines/lsmc.py _MAX_SCAN_ELEMENTS)."
+            "period — with non-zero forward prices this is the known "
+            "scan-overflow backend failure (engines/lsmc.py "
+            "_MAX_SCAN_ELEMENTS); a silently-wrong NPV must not be returned. "
+            "Set STORAGE_TPU_ALLOW_ZERO_SURFACE=1 if this facility is "
+            "genuinely worthless (zero value at every state)."
         )
+        if os.environ.get("STORAGE_TPU_ALLOW_ZERO_SURFACE"):
+            logging.getLogger("storage_tpu.lsmc").warning(msg)
+        else:
+            raise StorageError(msg)
 
 
 def _overflow_safe_spans(
@@ -819,6 +849,7 @@ def _backward_program(
     terminal_fn,
     pallas: Optional[Tuple[int, bool]] = None,
     mesh=None,
+    quantize_weights: bool = False,
 ):
     """Backward induction as one XLA program.
 
@@ -854,8 +885,13 @@ def _backward_program(
     m = reg_factors.shape[0] - 1  # simulated decision steps
     v = v_end
     parts = []
-    scan_fn = backward_scan if pallas is None else partial(
-        backward_scan_pallas, block_sims=pallas[0], interpret=pallas[1], mesh=mesh
+    scan_fn = (
+        partial(backward_scan, quantize_weights=quantize_weights)
+        if pallas is None
+        else partial(
+            backward_scan_pallas, block_sims=pallas[0], interpret=pallas[1],
+            mesh=mesh,
+        )
     )
     for a, b in reversed(_overflow_safe_spans(m, num_sims, G, pallas is not None)):
         lo_k, hi_k = first + a, first + b
@@ -1046,7 +1082,7 @@ _backward_program_jit = jax.jit(
     _backward_program,
     static_argnames=(
         "spec", "interp_kind", "num_grid_points", "extra_decisions",
-        "val_first", "terminal_fn", "pallas", "mesh",
+        "val_first", "terminal_fn", "pallas", "mesh", "quantize_weights",
     ),
     # The regression path set is dead after this program: donating lets XLA
     # reuse its GBs of HBM for scan workspace.
@@ -1127,7 +1163,8 @@ def run_lsmc(
         mesh, dtype, reg_factors.shape[-1], ctx.num_grid_points
     )
     backward_npv, cont_mean0, coeffs, mus, sds, vbars = _backward_program_jit(
-        reg_factors, sim_vols, sim_drift, dev, pallas=bpal, mesh=mesh, **statics
+        reg_factors, sim_vols, sim_drift, dev, pallas=bpal, mesh=mesh,
+        quantize_weights=_xla_quantize_weights(), **statics
     )
     jax.block_until_ready(coeffs)
     _check_backward_health(coeffs, vbars)
@@ -1217,8 +1254,12 @@ def _run_lsmc_chunked(
     vbar_parts: List[jax.Array] = []
     total_back = max(1, len(spans))
     bpal = _pallas_backward_eligible(mesh, dtype, num_sims, G)
-    bscan = backward_scan if bpal is None else partial(
-        backward_scan_pallas, block_sims=bpal[0], interpret=bpal[1], mesh=mesh
+    bscan = (
+        partial(backward_scan, quantize_weights=_xla_quantize_weights())
+        if bpal is None
+        else partial(
+            backward_scan_pallas, block_sims=bpal[0], interpret=bpal[1], mesh=mesh
+        )
     )
     for i, (a, b) in enumerate(reversed(spans)):
         lo_k = first + a
@@ -1483,6 +1524,7 @@ def fit_policy(
         extra_decisions=extra_decisions,
         val_first=ctx.val_date_is_first_step,
         terminal_fn=ctx.storage.terminal_npv_fn,
+        quantize_weights=_xla_quantize_weights(),
     )
     return LsmcPolicy(coeffs, mus, sds, vbars, cont_mean0, backward_npv)
 
@@ -1686,6 +1728,16 @@ def _forward_program_pallas(
         stacked, carry, end_spots, terminal_fn, backward_npv, dtype,
         collect_panels=False,
     )
+
+
+def _xla_quantize_weights() -> bool:
+    """Whether the engine's XLA backward fallback quantizes interpolation
+    weights to 1/128 like the Pallas kernel.  Default False: when the fused
+    kernel cannot run (CPU / f64 / kernels off) the reference-exact linear
+    interpolation is strictly better.  Set ``STORAGE_TPU_QUANTIZE_WEIGHTS=1``
+    to force quantization for engine-level XLA-vs-Pallas value-identity
+    (parity tests, quantization-error studies)."""
+    return bool(os.environ.get("STORAGE_TPU_QUANTIZE_WEIGHTS"))
 
 
 def _pallas_mode(mesh=None) -> str:

@@ -81,7 +81,6 @@ def _backward_kernel(
     num_factors: int,
     num_decisions: int,
     true_sims: int,
-    precision,
 ):
     bS = v_ref.shape[-1]
     B = spec.num_basis
@@ -115,8 +114,8 @@ def _backward_kernel(
     # bf16 halves; the interp weights are 1/128-quantized upstream so the
     # bf16 cast of M_d is EXACT and two passes (M @ v_hi + M @ v_lo) carry
     # the full ~16-bit effective precision — half the passes of the classic
-    # bf16x3 split and a third of HIGHEST.
-    del precision  # both engine precision modes share this path now
+    # bf16x3 split and a third of HIGHEST (which was measured slower at
+    # equal accuracy and rejected; see ROUND2_NOTES.md).
     v_c = v_ref[...] - vbar_ref[...]  # [G, bS]
     v_hi = v_c.astype(jnp.bfloat16)
     v_lo = (v_c - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -197,7 +196,6 @@ def _backward_update_local(
     block_sims: int,
     true_sims: int,
     interpret: bool,
-    precision: str,
 ):
     """Device-local kernel invocation on the TRANSPOSED surface.
 
@@ -205,11 +203,10 @@ def _backward_update_local(
     single-device scan pre-pads ONCE for the whole scan) or unpadded (the
     per-shard body under a mesh — local shards pad here, a tiny per-step
     copy); ``true_sims`` is the real (unpadded) count for masking.  Returns
-    ``(v_this_t [G, S_in], rowsum [G], graw [B+1, B+1] f64, praw [B+1, G]
-    f64)`` — the new surface (at the input's lane count), its masked row SUM,
-    and the raw regression partials for the previous period (sums, not means:
-    under a paths mesh the caller psums the per-shard sums before dividing by
-    the global sim count).
+    ``(v_this_t [G, S_in], graw [B+1, B+1] f32, praw [B+1, G] f32)`` — the
+    new surface (at the input's lane count) and the raw regression partials
+    for the previous period (sums, not means: under a paths mesh the caller
+    psums the per-shard sums before dividing by the global sim count).
     """
     if block_sims % 128:
         raise ValueError("block_sims must be a multiple of 128 (TPU lanes).")
@@ -231,10 +228,6 @@ def _backward_update_local(
         num_factors=num_factors,
         num_decisions=D,
         true_sims=true_sims,
-        precision=(
-            jax.lax.Precision.HIGHEST if precision == "highest"
-            else jax.lax.Precision.HIGH
-        ),
     )
     v_this, graws, praws = pl.pallas_call(
         kernel,
@@ -288,7 +281,7 @@ def _backward_update_local(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "spec", "num_grid", "block_sims", "true_sims", "interpret", "precision",
+        "spec", "num_grid", "block_sims", "true_sims", "interpret",
         "mesh", "axis_name",
     ),
 )
@@ -306,7 +299,6 @@ def pallas_backward_update(
     block_sims: int,
     true_sims: int,
     interpret: bool = False,
-    precision: str = "high",
     mesh=None,
     axis_name: Optional[str] = None,
 ):
@@ -326,7 +318,7 @@ def pallas_backward_update(
     local = functools.partial(
         _backward_update_local,
         spec=spec, num_grid=num_grid, block_sims=block_sims,
-        true_sims=true_sims, interpret=interpret, precision=precision,
+        true_sims=true_sims, interpret=interpret,
     )
     if mesh is None:
         v_this, graw, praw = local(

@@ -361,9 +361,12 @@ def _assemble_results(
         arrays.npv, arrays.backward_npv,
     ]
     shapes = [tuple(a.shape) for a in small]
+    # Concatenate in the promoted dtype of the inputs: hard-casting to f32
+    # here would silently round f64-mode results (~7 digits on a 1e6 NPV).
+    batch_dtype = jnp.result_type(*small)
     flat = np.asarray(
         jnp.concatenate(
-            [jnp.asarray(a, jnp.float32).ravel() for a in small]
+            [jnp.asarray(a, batch_dtype).ravel() for a in small]
         ),
         dtype=np.float64,
     )

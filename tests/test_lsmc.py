@@ -468,3 +468,116 @@ def test_scan_split_is_lossless(monkeypatch):
     split = run()
     assert split.npv == pytest.approx(base.npv, rel=1e-6)
     assert np.allclose(split.deltas.values, base.deltas.values, atol=1e-4)
+
+
+# --------------------------------------------------------------------------- #
+# 1/128 interp-weight quantization bound (VERDICT r2 #5)                      #
+# --------------------------------------------------------------------------- #
+
+
+def _ratcheted_3f_value(num_sims=2048, **kwargs):
+    """Ratcheted 3-factor config for quantization-impact measurement."""
+    from storage_tpu import RatchetInterp, three_factor_seasonal_value
+
+    storage = CmdtyStorage(
+        "D", "2021-01-01", "2021-04-01",
+        injection_cost=0.1, withdrawal_cost=0.2,
+        ratchets=[
+            (
+                "2021-01-01",
+                [(0.0, -50.0, 70.0), (1000.0, -50.0, 70.0), (2500.0, -80.0, 40.0)],
+            )
+        ],
+        ratchet_interp=RatchetInterp.LINEAR,
+    )
+    idx = pd.period_range("2021-01-01", "2021-04-01", freq="D")
+    fwd = pd.Series(18.0 + 4.0 * np.cos(np.arange(len(idx)) / 10.0), index=idx)
+    return three_factor_seasonal_value(
+        storage, "2021-01-01", 500.0, fwd, 0.03, None,
+        spot_mean_reversion=12.0, spot_vol=0.8, long_term_vol=0.2, seasonal_vol=0.4,
+        num_sims=num_sims, basis_funcs="1 + s + x_st + x_lt + x_sw + s**2",
+        discount_deltas=False, seed=7, return_sim_panels=False, **kwargs,
+    )
+
+
+class TestWeightQuantization:
+    """The Pallas kernels quantize interpolation weights to multiples of 1/128
+    (exact bf16 representability).  These tests MEASURE that deviation instead
+    of asserting it in a comment, and pin that the engine's XLA fallback
+    defaults to the reference-exact unquantized interpolation
+    (ADVICE r2: keep CPU/f64 runs exact)."""
+
+    def test_quantization_error_bounded(self, monkeypatch):
+        exact = _ratcheted_3f_value()
+        monkeypatch.setenv("STORAGE_TPU_QUANTIZE_WEIGHTS", "1")
+        quantized = _ratcheted_3f_value()
+        # Bound cited in docs/valuation_math.md ("Interpolation-weight
+        # quantization"): the half-cell weight shift is <= 1/256 of a grid
+        # cell, which perturbs the lower-bound NPV at the sub-0.1% level and
+        # per-period deltas by at most a few near-indifferent policy flips.
+        assert quantized.npv == pytest.approx(exact.npv, rel=1e-3)
+        max_rate = 80.0
+        diff = (quantized.deltas - exact.deltas).abs()
+        assert float(diff.max()) <= 0.05 * max_rate
+        assert float(diff.mean()) <= 0.01 * max_rate
+
+    def test_xla_fallback_defaults_exact(self):
+        from storage_tpu.engines.lsmc import _xla_quantize_weights
+
+        assert _xla_quantize_weights() is False
+
+    def test_env_forces_quantized(self, monkeypatch):
+        from storage_tpu.engines.lsmc import _xla_quantize_weights
+
+        monkeypatch.setenv("STORAGE_TPU_QUANTIZE_WEIGHTS", "1")
+        assert _xla_quantize_weights() is True
+
+
+# --------------------------------------------------------------------------- #
+# Backward-scan health probe (VERDICT r2 #4)                                  #
+# --------------------------------------------------------------------------- #
+
+
+class TestBackwardHealthProbe:
+    """A silently-zeroed value surface (the known scan-overflow backend
+    signature) must raise, not warn: a wrong NPV with a buried warning is
+    worse than an exception."""
+
+    def _arrays(self, vbars_np):
+        import jax.numpy as jnp
+
+        coeffs = jnp.zeros((4, 5, 10), jnp.float32)
+        return coeffs, jnp.asarray(vbars_np, jnp.float32)
+
+    def test_zero_surface_raises(self):
+        from storage_tpu.engines.lsmc import _check_backward_health
+        from storage_tpu.exceptions import StorageError
+
+        coeffs, vbars = self._arrays(np.zeros((6, 10)))
+        with pytest.raises(StorageError, match="identically zero"):
+            _check_backward_health(coeffs, vbars)
+
+    def test_zero_surface_env_escape_hatch(self, monkeypatch, caplog):
+        from storage_tpu.engines.lsmc import _check_backward_health
+
+        monkeypatch.setenv("STORAGE_TPU_ALLOW_ZERO_SURFACE", "1")
+        coeffs, vbars = self._arrays(np.zeros((6, 10)))
+        with caplog.at_level("WARNING", logger="storage_tpu.lsmc"):
+            _check_backward_health(coeffs, vbars)  # must not raise
+        assert any("identically zero" in r.message for r in caplog.records)
+
+    def test_nonfinite_value_surface_raises(self):
+        from storage_tpu.engines.lsmc import _check_backward_health
+        from storage_tpu.exceptions import StorageError
+
+        vb = np.ones((6, 10))
+        vb[3, 4] = np.nan  # NaN guards upstream never sanitize vbars
+        coeffs, vbars = self._arrays(vb)
+        with pytest.raises(StorageError, match="non-finite"):
+            _check_backward_health(coeffs, vbars)
+
+    def test_healthy_surface_passes(self):
+        from storage_tpu.engines.lsmc import _check_backward_health
+
+        coeffs, vbars = self._arrays(np.ones((6, 10)))
+        _check_backward_health(coeffs, vbars)
