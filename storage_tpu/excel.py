@@ -23,8 +23,12 @@ Mapping (reference ``src/Cmdty.Storage.Excel``):
                                    (``MultiFactorXl.cs:192-242``)
 ``cmdty.StorageIntrinsicValue``    :func:`storage_intrinsic_value`
                                    (``IntrinsicXl.cs:36-62``)
+``cmdty.StorageIntrinsicDecisionProfile`` :func:`storage_intrinsic_decision_profile`
+                                   (``IntrinsicXl.cs:62-95``)
 ``cmdty.StorageValueTrinomialTree``:func:`storage_value_trinomial_tree`
                                    (``TrinomialXl.cs:35-64``)
+``cmdty.StorageValueIntrinsic``    :func:`storage_value_intrinsic`
+                                   (``TrinomialXl.cs:64-95``)
 ``ExcelCalcWrapper``               :class:`storage_tpu.runtime.AsyncValuation`
 =================================  =========================================
 
@@ -309,6 +313,54 @@ def storage_intrinsic_value(
 
 
 @_excel_fn
+def storage_intrinsic_decision_profile(
+    valuation_date,
+    storage_start,
+    storage_end,
+    ratchets,
+    inject_withdraw_interpolation: str,
+    injection_cost_rate: float,
+    cmdty_consumed_on_injection: float,
+    withdrawal_cost_rate: float,
+    cmdty_consumed_on_withdrawal: float,
+    current_inventory: float,
+    forward_curve,
+    interest_rate_curve,
+    num_grid_points=None,
+    numerical_tolerance=None,
+):
+    """``cmdty.StorageIntrinsicDecisionProfile``: the intrinsic optimal
+    decision profile as a ``[rows, 3]`` table of (period start, inject/
+    withdraw volume, cmdty consumed) — ``IntrinsicXl.cs:62-95``."""
+    from .engines.intrinsic import intrinsic_value
+
+    handle = create_storage(
+        "__intrinsic_tmp__", storage_start, storage_end, ratchets,
+        inject_withdraw_interpolation, injection_cost_rate,
+        cmdty_consumed_on_injection, withdrawal_cost_rate,
+        cmdty_consumed_on_withdrawal,
+    )
+    if isinstance(handle, str) and handle.startswith("#"):
+        return handle
+    results = intrinsic_value(
+        storage_cache.get(handle), str(_day(valuation_date)),
+        float(current_inventory),
+        _series_from_range(forward_curve, "Forward_curve"),
+        _rate_curve_from_range(interest_rate_curve), None,
+        num_inventory_grid_points=int(_default(num_grid_points, 100)),
+    )
+    profile = results.profile
+    return [
+        [
+            period.start_time.to_pydatetime(),
+            float(profile["inject_withdraw_volume"].iloc[i]),
+            float(profile["cmdty_consumed"].iloc[i]),
+        ]
+        for i, period in enumerate(profile.index)
+    ]
+
+
+@_excel_fn
 def storage_value_trinomial_tree(
     valuation_date,
     storage_start,
@@ -350,6 +402,48 @@ def storage_value_trinomial_tree(
             time_step=1.0 / 365.0,
             interest_rates=_rate_curve_from_range(interest_rate_curve),
             settlement_rule=None,
+            num_inventory_grid_points=int(_default(num_grid_points, 100)),
+        )
+    )
+
+
+@_excel_fn
+def storage_value_intrinsic(
+    valuation_date,
+    storage_start,
+    storage_end,
+    ratchets,
+    inject_withdraw_interpolation: str,
+    injection_cost_rate: float,
+    cmdty_consumed_on_injection: float,
+    withdrawal_cost_rate: float,
+    cmdty_consumed_on_withdrawal: float,
+    current_inventory: float,
+    forward_curve,
+    interest_rate_curve,
+    num_grid_points=None,
+    numerical_tolerance=None,
+) -> float:
+    """``cmdty.StorageValueIntrinsic``: intrinsic NPV via the backward-
+    induction tree DP over the degenerate (zero-vol) forward-path tree —
+    ``TrinomialXl.cs:64-95`` / ``TreeStorageValuationExtensions.cs:104-124``."""
+    from .engines.tree import intrinsic_tree_value
+
+    handle = create_storage(
+        "__tree_tmp__", storage_start, storage_end, ratchets,
+        inject_withdraw_interpolation, injection_cost_rate,
+        cmdty_consumed_on_injection, withdrawal_cost_rate,
+        cmdty_consumed_on_withdrawal,
+    )
+    if isinstance(handle, str) and handle.startswith("#"):
+        return handle
+    return float(
+        intrinsic_tree_value(
+            storage_cache.get(handle), str(_day(valuation_date)),
+            float(current_inventory),
+            _series_from_range(forward_curve, "Forward_curve"),
+            _rate_curve_from_range(interest_rate_curve),
+            None,
             num_inventory_grid_points=int(_default(num_grid_points, 100)),
         )
     )

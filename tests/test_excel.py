@@ -169,6 +169,66 @@ class TestSyncUdfs:
         )
         assert isinstance(npv, float) and np.isfinite(npv)
 
+    def test_intrinsic_decision_profile_table(self, curves):
+        """`cmdty.StorageIntrinsicDecisionProfile` (IntrinsicXl.cs:62-95):
+        [rows, 3] of (period start, inject/withdraw volume, cmdty consumed),
+        consistent with the engine's profile and the intrinsic NPV."""
+        fwd, rates = curves
+        table = excel.storage_intrinsic_decision_profile(
+            "2021-04-01", "2021-04-01", "2021-07-01", RATCHET_RANGE,
+            "PiecewiseLinear", 0.01, 0.0, 0.025, 0.0, 700.0,
+            date_range_2d(fwd), date_range_2d(rates),
+        )
+        assert isinstance(table, list) and len(table) > 0
+        assert all(len(row) == 3 for row in table)
+        direct = intrinsic_value(
+            excel.storage_cache.get("__intrinsic_tmp__"), "2021-04-01", 700.0,
+            fwd, rates, None,
+        )
+        assert len(table) == len(direct.profile)
+        import datetime
+
+        assert isinstance(table[0][0], datetime.datetime)
+        assert table[0][0] == direct.profile.index[0].start_time.to_pydatetime()
+        np.testing.assert_allclose(
+            [row[1] for row in table],
+            direct.profile["inject_withdraw_volume"].to_numpy(),
+            rtol=1e-9,
+        )
+        np.testing.assert_allclose(
+            [row[2] for row in table],
+            direct.profile["cmdty_consumed"].to_numpy(),
+            rtol=1e-9,
+        )
+
+    def test_intrinsic_tree_udf_matches_intrinsic_engine(self, curves):
+        """`cmdty.StorageValueIntrinsic` (TrinomialXl.cs:64-95): intrinsic NPV
+        via the degenerate-tree backward induction; must be close to the
+        dedicated intrinsic engine on the same config."""
+        fwd, rates = curves
+        npv = excel.storage_value_intrinsic(
+            "2021-04-01", "2021-04-01", "2021-07-01", RATCHET_RANGE,
+            "PiecewiseLinear", 0.01, 0.0, 0.025, 0.0, 700.0,
+            date_range_2d(fwd), date_range_2d(rates),
+        )
+        assert isinstance(npv, float) and np.isfinite(npv)
+        direct = intrinsic_value(
+            excel.storage_cache.get("__intrinsic_tmp__"), "2021-04-01", 700.0,
+            fwd, rates, None,
+        )
+        # Two different DP formulations (tree replay vs rolling intrinsic);
+        # both are valid lower bounds on the same deterministic curve.
+        assert npv == pytest.approx(direct.npv, rel=0.02)
+
+    def test_bad_ratchets_return_hash_error(self, curves):
+        fwd, rates = curves
+        out = excel.storage_value_intrinsic(
+            "2021-04-01", "2021-04-01", "2021-07-01", [["bad"]],
+            "PiecewiseLinear", 0.01, 0.0, 0.025, 0.0, 700.0,
+            date_range_2d(fwd), date_range_2d(rates),
+        )
+        assert isinstance(out, str) and out.startswith("#")
+
     def test_settlement_rule_from_range(self):
         rule = excel._settlement_rule(
             [["2021-04", "2021-05-20"], ["2021-05", "2021-06-21"]]
