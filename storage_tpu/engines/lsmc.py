@@ -1148,15 +1148,20 @@ def run_lsmc(
     sim_vols = jnp.asarray(sim_vols, dtype)
     sim_drift = jnp.asarray(sim_drift, dtype)
 
+    from ..models.simulation import StreamingFactorSource
+
     chunked = on_progress_update is not None or cancelled is not None
-    if chunked:
+    reg = reg_sims() if callable(reg_sims) else reg_sims
+    if chunked or isinstance(reg, StreamingFactorSource):
+        # Streaming sources always take the chunked driver: factor paths are
+        # re-simulated span-by-span there instead of materialising [m, F, S].
         return _run_lsmc_chunked(
-            ctx, reg_sims, val_sims, sim_vols, sim_drift, dev, spec, discount_deltas,
+            ctx, reg, val_sims, sim_vols, sim_drift, dev, spec, discount_deltas,
             extra_decisions, dtype, on_progress_update, cancelled,
-            num_progress_chunks, mesh, collect_panels,
+            num_progress_chunks, mesh, collect_panels, stopwatches,
         )
 
-    reg_factors = shard(reg_sims() if callable(reg_sims) else reg_sims)
+    reg_factors = shard(reg)
     if stopwatches is not None:
         stopwatches.start("BackwardInduction")
     bpal = _pallas_backward_eligible(
@@ -1198,12 +1203,53 @@ def run_lsmc(
     return arrays
 
 
+def _factor_access(factors_or_source, shard):
+    """Uniform chunk access over a materialised ``[m+1, F, S]`` array or a
+    :class:`~storage_tpu.models.simulation.StreamingFactorSource`.
+
+    Returns ``(get(a, b), last(), num_sims, source_spans_or_None)``.
+    """
+    from ..models.simulation import StreamingFactorSource
+
+    if isinstance(factors_or_source, StreamingFactorSource):
+        src = factors_or_source
+        return src.factors, src.last, src.num_sims, src.spans()
+    arr = shard(factors_or_source)
+    return (
+        lambda a, b: arr[a:b],
+        lambda: arr[-1],
+        arr.shape[-1],
+        None,
+    )
+
+
+def _refine_spans(m: int, max_steps: int, min_count: int, source_spans):
+    """Chunk [0, m) into scan spans.
+
+    Without a streaming source this is :func:`_chunk_bounds` capped by the
+    overflow budget.  With one, the source's aligned spans are the outer
+    structure (each ``factors(a, b)`` call must stay within one span) and are
+    further split only if they exceed the scan-element budget.
+    """
+    if source_spans is None:
+        return _chunk_bounds(m, max(min_count, -(-m // max_steps)))
+    out = []
+    for a, b in source_spans:
+        if a >= m:
+            break
+        b = min(b, m)
+        for aa, bb in _chunk_bounds(b - a, -(-(b - a) // max_steps)):
+            out.append((a + aa, a + bb))
+    return out
+
+
 def _run_lsmc_chunked(
     ctx, reg_sims, val_sims, sim_vols, sim_drift, dev, spec, discount_deltas,
     extra_decisions, dtype, on_progress_update, cancelled, num_progress_chunks,
-    mesh, collect_panels,
+    mesh, collect_panels, stopwatches=None,
 ) -> LsmcArrays:
-    """Chunked variant with host progress/cancellation between scan chunks."""
+    """Chunked variant: host progress/cancellation hooks between scan chunks,
+    and span-by-span factor re-simulation when given streaming sources."""
     n = ctx.n_steps
     G = ctx.num_grid_points
     interp_kind = ctx.interp_kind
@@ -1226,13 +1272,15 @@ def _run_lsmc_chunked(
         if on_progress_update is not None:
             on_progress_update(frac)
 
-    reg_factors = shard(reg_sims() if callable(reg_sims) else reg_sims)
-    num_sims = reg_factors.shape[-1]
+    if stopwatches is not None:
+        stopwatches.start("BackwardInduction")
+    reg = reg_sims() if callable(reg_sims) else reg_sims
+    reg_fac, reg_last, num_sims, reg_spans = _factor_access(reg, shard)
 
     if terminal_fn is None:
         v_end = jnp.zeros((num_sims, G), dtype=dtype)
     else:
-        end_spots = spot_from_factors(reg_factors[-1], sim_vols[-1], sim_drift[-1])
+        end_spots = spot_from_factors(reg_last(), sim_vols[-1], sim_drift[-1])
         v_end = jnp.asarray(
             terminal_fn(end_spots[:, None], dev.grids[n][None, :]), dtype
         )
@@ -1244,16 +1292,20 @@ def _run_lsmc_chunked(
     )
     m = n - first  # simulated decision steps
 
+    bpal = _pallas_backward_eligible(mesh, dtype, num_sims, G)
     per_step = num_sims * G
-    min_chunks = -(-m * per_step // _MAX_SCAN_ELEMENTS)
-    spans = _chunk_bounds(m, max(num_progress_chunks, min_chunks))
+    budget = _MAX_SCAN_ELEMENTS_PALLAS if bpal is not None else _MAX_SCAN_ELEMENTS
+    min_chunks = -(-m * per_step // budget)
+    max_steps = max(1, budget // per_step)
+    spans = _refine_spans(
+        m, max_steps, max(num_progress_chunks, min_chunks), reg_spans
+    )
     v = v_end
     coeffs_parts: List[jax.Array] = []
     mu_parts: List[jax.Array] = []
     sd_parts: List[jax.Array] = []
     vbar_parts: List[jax.Array] = []
     total_back = max(1, len(spans))
-    bpal = _pallas_backward_eligible(mesh, dtype, num_sims, G)
     bscan = (
         partial(backward_scan, quantize_weights=_xla_quantize_weights())
         if bpal is None
@@ -1266,7 +1318,7 @@ def _run_lsmc_chunked(
         hi_k = first + b
         v, coeffs_c, mu_c, sd_c, vbar_c = bscan(
             v,
-            reg_factors[a:b],
+            reg_fac(a, b),
             sim_vols[a:b],
             sim_drift[a:b],
             dev.grids[lo_k:hi_k],
@@ -1303,13 +1355,20 @@ def _run_lsmc_chunked(
     else:
         cont_mean0 = jnp.zeros((G,), dtype)
         backward_npv = jnp.mean(v[:, 0])
-    del v, reg_factors
+    del v, reg, reg_fac, reg_last
+    if stopwatches is not None:
+        jax.block_until_ready(coeffs)
+        stopwatches.stop("BackwardInduction")
+        stopwatches.start("ForwardSimulation")
 
-    val_factors = shard(val_sims() if callable(val_sims) else val_sims)
+    val = val_sims() if callable(val_sims) else val_sims
+    val_fac, val_last, _, val_spans = _factor_access(val, shard)
 
     dfd = dev.df_settle if discount_deltas else jnp.ones_like(dev.df_settle)
 
-    fwd_spans = _chunk_bounds(m, max(num_progress_chunks, min_chunks))
+    fwd_spans = _refine_spans(
+        m, max_steps, max(num_progress_chunks, min_chunks), val_spans
+    )
     total_fwd = max(1, len(fwd_spans))
     fpal = _pallas_forward_eligible(
         ctx, extra_decisions, mesh, collect_panels, num_sims, dtype
@@ -1345,7 +1404,7 @@ def _run_lsmc_chunked(
         xsum_parts: List[jax.Array] = []
         for i, (a, b) in enumerate(fwd_spans):
             sums_c, xsums_c, inv_carry, pv_c = pallas_forward_sim(
-                val_factors[a:b], inv_carry, tables[a:b], mus[a:b], sds[a:b],
+                val_fac(a, b), inv_carry, tables[a:b], mus[a:b], sds[a:b],
                 dev.pillars[first + a : first + b], scalars[a:b],
                 spec=spec, interp_kind=interp_kind, num_grid=G,
                 block_sims=fpal[0], interpret=fpal[1], mesh=mesh,
@@ -1366,11 +1425,14 @@ def _run_lsmc_chunked(
                 lambda u, v_: jnp.concatenate([u, v_], axis=0), outputs0, stacked
             )
         carry = (inv_carry, pv_total + pv0_s)
-        end_spots = spot_from_factors(val_factors[-1], sim_vols[-1], sim_drift[-1])
+        end_spots = spot_from_factors(val_last(), sim_vols[-1], sim_drift[-1])
         arrays = _assemble_arrays(
             stacked, carry, end_spots, terminal_fn, backward_npv, dtype,
             collect_panels=False,
         )
+        if stopwatches is not None:
+            jax.block_until_ready(arrays.npv)
+            stopwatches.stop("ForwardSimulation")
         report(1.0)
         return arrays
 
@@ -1400,7 +1462,7 @@ def _run_lsmc_chunked(
         hi_k = first + b
         carry, outputs = forward_scan(
             carry,
-            val_factors[a:b],
+            val_fac(a, b),
             sim_vols[a:b],
             sim_drift[a:b],
             coeffs[a:b],
@@ -1428,10 +1490,13 @@ def _run_lsmc_chunked(
         report(BACKWARD_PCNT_TIME + (1.0 - BACKWARD_PCNT_TIME) * (i + 1) / total_fwd)
 
     stacked = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *out_parts)
-    end_spots = spot_from_factors(val_factors[-1], sim_vols[-1], sim_drift[-1])
+    end_spots = spot_from_factors(val_last(), sim_vols[-1], sim_drift[-1])
     arrays = _assemble_arrays(
         stacked, carry, end_spots, terminal_fn, backward_npv, dtype, collect_panels
     )
+    if stopwatches is not None:
+        jax.block_until_ready(arrays.npv)
+        stopwatches.stop("ForwardSimulation")
     report(1.0)
     return arrays
 

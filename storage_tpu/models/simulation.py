@@ -112,6 +112,100 @@ def sim_coefficients(
     return SimCoefficients(decay=decay, chol=chol, vols=vols, log_fwd_drift=log_fwd_drift)
 
 
+# Normal draws happen in fixed blocks of this many steps, each keyed by
+# fold_in(key, block_start_step): the stream for steps [b, b+16) depends only
+# on the key and b, never on how much of the horizon is simulated around it.
+# This makes chunked re-simulation from a checkpointed OU state (the
+# StreamingFactorSource below, used when full paths would blow HBM at e.g.
+# hourly granularity x production path counts) bit-identical to the
+# monolithic kernel — and the monolithic kernel itself never materialises
+# the [n, F, S] normals array (it equalled the output in size).
+_DRAW_BLOCK = 16
+
+
+def _block_normals(key, b0, num_factors: int, num_sims: int, antithetic: bool, dtype):
+    """Normals for the draw block starting at step ``b0`` — ALWAYS the full
+    ``[_DRAW_BLOCK, F, S]`` shape (callers slice partial tail blocks), since
+    threefry values depend on the requested shape."""
+    k = jax.random.fold_in(key, b0)
+    if antithetic:
+        half = (num_sims + 1) // 2
+        z = jax.random.normal(k, (_DRAW_BLOCK, num_factors, half), dtype=dtype)
+        return jnp.concatenate([z, -z], axis=-1)[:, :, :num_sims]
+    return jax.random.normal(k, (_DRAW_BLOCK, num_factors, num_sims), dtype=dtype)
+
+
+def _advance(y, decay_k, chol_k, z_k, dtype):
+    # Exact OU update: decay + correlated increment.  F is tiny, so the
+    # matmul is a cheap [F,F]x[F,S] contraction fused by XLA.
+    return decay_k[:, None] * y + jnp.dot(
+        chol_k, z_k, preferred_element_type=dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _scan_factor_blocks(key, y0, decay, chol, start, num_steps: int,
+                        num_sims: int, antithetic: bool):
+    """Advance ``num_steps`` OU steps from state ``y0`` at absolute step
+    ``start`` (traced scalar, must be a multiple of ``_DRAW_BLOCK``),
+    returning ``(y_final, factors [num_steps, F, S])``.
+
+    Scans in UNROLLED BLOCKS of ``_DRAW_BLOCK`` steps: a plain per-step scan
+    stacks its outputs with one [1, F, S] dynamic-update-slice per step,
+    which the backend runs far below HBM bandwidth (~10x) — at 1M sims the
+    stacking dominated the whole simulation.  Each iteration instead writes
+    one contiguous [16, F, S] block.  ``decay``/``chol`` are the FULL-horizon
+    coefficient arrays (tiny), indexed absolutely.
+    """
+    n_all, num_factors = decay.shape
+    dtype = decay.dtype
+    num_blocks = num_steps // _DRAW_BLOCK
+    start = jnp.asarray(start, jnp.int32)
+
+    def block_step(y, b0):
+        zero = jnp.zeros_like(b0)  # same int width as b0 (x64-safe)
+        z_b = _block_normals(key, b0, num_factors, num_sims, antithetic, dtype)
+        decay_b = jax.lax.dynamic_slice(decay, (b0, zero), (_DRAW_BLOCK, num_factors))
+        chol_b = jax.lax.dynamic_slice(
+            chol, (b0, zero, zero), (_DRAW_BLOCK, num_factors, num_factors)
+        )
+        ys = []
+        for c in range(_DRAW_BLOCK):
+            y = _advance(y, decay_b[c], chol_b[c], z_b[c], dtype)
+            ys.append(y)
+        return y, jnp.stack(ys)
+
+    if num_blocks:
+        starts = start + jnp.arange(num_blocks, dtype=jnp.int32) * _DRAW_BLOCK
+        y_last, factors_main = jax.lax.scan(block_step, y0, starts)
+        factors_main = factors_main.reshape(
+            (num_blocks * _DRAW_BLOCK,) + factors_main.shape[2:]
+        )
+    else:
+        y_last, factors_main = y0, jnp.zeros((0, num_factors, num_sims), dtype)
+
+    tail_len = num_steps - num_blocks * _DRAW_BLOCK
+    if tail_len:
+        t0 = start + num_blocks * _DRAW_BLOCK
+        # Normals keep the fixed block shape (threefry values depend on the
+        # requested shape); the coefficient slices are exact-length so the
+        # start index is never clamped at the horizon end.
+        z_t = _block_normals(key, t0, num_factors, num_sims, antithetic, dtype)
+        zero = jnp.zeros_like(t0)
+        decay_t = jax.lax.dynamic_slice(decay, (t0, zero), (tail_len, num_factors))
+        chol_t = jax.lax.dynamic_slice(
+            chol, (t0, zero, zero), (tail_len, num_factors, num_factors)
+        )
+        tail = []
+        y = y_last
+        for c in range(tail_len):
+            y = _advance(y, decay_t[c], chol_t[c], z_t[c], dtype)
+            tail.append(y)
+        y_last = y
+        factors_main = jnp.concatenate([factors_main, jnp.stack(tail)], axis=0)
+    return y_last, factors_main
+
+
 @partial(jax.jit, static_argnames=("num_sims", "antithetic"))
 def _simulate_factor_kernel(
     key,
@@ -128,66 +222,11 @@ def _simulate_factor_kernel(
     spot panel alone is GBs of HBM.
     """
     n, num_factors = decay.shape
-    dtype = decay.dtype
-    if antithetic:
-        half = (num_sims + 1) // 2
-        normals = jax.random.normal(key, (n, num_factors, half), dtype=dtype)
-        normals = jnp.concatenate([normals, -normals], axis=-1)[:, :, :num_sims]
-    else:
-        normals = jax.random.normal(key, (n, num_factors, num_sims), dtype=dtype)
-
-    def advance(y, decay_k, chol_k, z_k):
-        # Exact OU update: decay + correlated increment.  F is tiny, so the
-        # matmul is a cheap [F,F]x[F,S] contraction fused by XLA.
-        return decay_k[:, None] * y + jnp.dot(
-            chol_k, z_k, preferred_element_type=dtype,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-
-    # Scan in UNROLLED CHUNKS of steps: a plain per-step scan stacks its
-    # outputs with one [1, F, S] dynamic-update-slice per step, which the
-    # backend runs far below HBM bandwidth (~10x) — at 1M sims the stacking
-    # dominated the whole simulation.  Unrolling C steps per scan iteration
-    # makes each iteration write one contiguous [C, F, S] block instead.
-    # The per-step arithmetic and the threefry stream are unchanged, so
-    # paths are bit-identical to the naive scan's.
-    chunk = 16
-    num_chunks = n // chunk
-    y0 = jnp.zeros((num_factors, num_sims), dtype=dtype)
-
-    def chunk_step(y, c0):
-        # Read the chunk's normals as one contiguous dynamic slice of the
-        # full array — reshaping the 4 GB array into scan xs would
-        # materialise a second copy of it.
-        zero = jnp.zeros_like(c0)  # same int width as c0 (x64-safe)
-        z_c = jax.lax.dynamic_slice(
-            normals, (c0, zero, zero), (chunk, num_factors, num_sims)
-        )
-        decay_c = jax.lax.dynamic_slice(decay, (c0, zero), (chunk, num_factors))
-        chol_c = jax.lax.dynamic_slice(
-            chol, (c0, zero, zero), (chunk, num_factors, num_factors)
-        )
-        ys = []
-        for c in range(chunk):
-            y = advance(y, decay_c[c], chol_c[c], z_c[c])
-            ys.append(y)
-        return y, jnp.stack(ys)
-
-    if num_chunks:
-        starts = jnp.arange(num_chunks, dtype=jnp.int32) * chunk
-        y_last, factors_main = jax.lax.scan(chunk_step, y0, starts)
-        factors_main = factors_main.reshape((num_chunks * chunk,) + factors_main.shape[2:])
-    else:
-        y_last, factors_main = y0, jnp.zeros((0, num_factors, num_sims), dtype)
-
-    tail = []
-    y = y_last
-    for k in range(num_chunks * chunk, n):
-        y = advance(y, decay[k], chol[k], normals[k])
-        tail.append(y)
-    if tail:
-        factors_main = jnp.concatenate([factors_main, jnp.stack(tail)], axis=0)
-    return factors_main
+    y0 = jnp.zeros((num_factors, num_sims), dtype=decay.dtype)
+    _, factors = _scan_factor_blocks(
+        key, y0, decay, chol, 0, n, num_sims, antithetic
+    )
+    return factors
 
 
 @jax.jit
@@ -220,6 +259,135 @@ def simulate_factor_paths(
         num_sims=int(num_sims),
         antithetic=bool(antithetic),
     )
+
+
+@partial(jax.jit, static_argnames=("num_sims", "antithetic", "every", "num_ckpt"))
+def _factor_checkpoints_kernel(
+    key,
+    decay,  # [n, F]
+    chol,  # [n, F, F]
+    num_sims: int,
+    antithetic: bool,
+    every: int,
+    num_ckpt: int,
+):
+    """OU states ENTERING steps 0, every, 2*every, ... — ``[num_ckpt, F, S]``.
+
+    One pass of the simulation arithmetic that stores only span-boundary
+    states (``num_ckpt`` x [F, S]) instead of the full [n, F, S] path array.
+    ``every`` must be a multiple of ``_DRAW_BLOCK`` so spans re-draw the same
+    threefry blocks as the monolithic kernel.
+    """
+    num_factors = decay.shape[1]
+    dtype = decay.dtype
+    y0 = jnp.zeros((num_factors, num_sims), dtype=dtype)
+
+    def span_step(y, s0):
+        y_next, _ = _scan_factor_blocks(
+            key, y, decay, chol, s0, every, num_sims, antithetic
+        )
+        return y_next, y  # emit the ENTERING state
+
+    starts = jnp.arange(num_ckpt, dtype=jnp.int32) * every
+    _, ckpts = jax.lax.scan(span_step, y0, starts)
+    return ckpts
+
+
+@partial(jax.jit, static_argnames=("num_sims", "antithetic", "span_len"))
+def _factor_span_kernel(
+    key,
+    y0,  # [F, S] state entering step span_start
+    decay,
+    chol,
+    span_start,  # traced scalar, multiple of _DRAW_BLOCK
+    num_sims: int,
+    antithetic: bool,
+    span_len: int,
+):
+    """Re-simulate factors for steps [span_start, span_start + span_len)."""
+    _, factors = _scan_factor_blocks(
+        key, y0, decay, chol, span_start, span_len, num_sims, antithetic
+    )
+    return factors
+
+
+class StreamingFactorSource:
+    """Factor paths regenerated per time-span from checkpointed OU states.
+
+    At hourly granularity x production path counts the full ``[n, F, S]``
+    factor array no longer fits in HBM (1y hourly x 250k paths = 26 GB), so
+    the engine's chunked driver consumes paths span-by-span: one cheap
+    checkpoint pass stores the OU state entering each span, and each span is
+    re-simulated on demand — classic checkpointed rematerialisation, trading
+    one extra pass of (tiny-F) simulation arithmetic for O(n/every) memory.
+    Because normal draws are keyed per fixed 16-step block
+    (see ``_block_normals``), the regenerated paths are BIT-IDENTICAL to the
+    monolithic kernel's for the same key.
+
+    Peak factor memory: one ``[every, F, S]`` span + ``[n/every, F, S]``
+    checkpoints.  ``every`` is rounded up to a multiple of ``_DRAW_BLOCK``.
+    """
+
+    def __init__(self, coeffs: SimCoefficients, num_sims: int, key,
+                 antithetic: bool = False, dtype=jnp.float32,
+                 every: int = 512, mesh=None):
+        self.num_steps = int(coeffs.decay.shape[0])
+        self.num_sims = int(num_sims)
+        self.antithetic = bool(antithetic)
+        self.every = max(_DRAW_BLOCK, -(-int(every) // _DRAW_BLOCK) * _DRAW_BLOCK)
+        self._key = key
+        self._decay = jnp.asarray(coeffs.decay, dtype)
+        self._chol = jnp.asarray(coeffs.chol, dtype)
+        self._mesh = mesh
+        self._ckpts = None  # computed on first use
+
+    def spans(self):
+        """The aligned spans [(a, b), ...] covering [0, num_steps)."""
+        return [
+            (a, min(a + self.every, self.num_steps))
+            for a in range(0, self.num_steps, self.every)
+        ]
+
+    def _checkpoints(self):
+        if self._ckpts is None:
+            num_ckpt = -(-self.num_steps // self.every)
+            self._ckpts = _factor_checkpoints_kernel(
+                self._key, self._decay, self._chol,
+                num_sims=self.num_sims, antithetic=self.antithetic,
+                every=self.every, num_ckpt=num_ckpt,
+            )
+        return self._ckpts
+
+    def factors(self, a: int, b: int):
+        """``[b - a, F, S]`` factor states for steps [a, b).
+
+        ``[a, b)`` must lie within one aligned span (the engine iterates the
+        refinement of :meth:`spans`), so each call re-simulates at most one
+        span and compiles at most two programs (full span + horizon tail).
+        """
+        i = a // self.every
+        s0, s1 = i * self.every, min((i + 1) * self.every, self.num_steps)
+        if not (s0 <= a < b <= s1):
+            raise ValueError(
+                f"factors({a}, {b}) crosses a span boundary (every={self.every})."
+            )
+        y0 = self._checkpoints()[i]
+        out = _factor_span_kernel(
+            self._key, y0, self._decay, self._chol, s0,
+            num_sims=self.num_sims, antithetic=self.antithetic,
+            span_len=s1 - s0,
+        )
+        if a != s0 or b != s1:
+            out = jax.lax.dynamic_slice_in_dim(out, a - s0, b - a, axis=0)
+        if self._mesh is not None:
+            from ..parallel.mesh import shard_sims
+
+            out = shard_sims(self._mesh, out, 2)
+        return out
+
+    def last(self):
+        """``[F, S]`` — the factor state of the final simulated period."""
+        return self.factors(self.num_steps - 1, self.num_steps)[0]
 
 
 def simulate_spot_paths(

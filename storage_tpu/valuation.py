@@ -10,6 +10,7 @@ trigger prices and trigger volume/price profiles.
 from __future__ import annotations
 
 import logging
+import os
 from typing import Callable, Iterable, List, NamedTuple, Optional, Sequence, Tuple, Union
 
 import jax
@@ -258,23 +259,67 @@ def _multi_factor_calc(
     sim_vols = jnp.asarray(coeffs.vols, dtype)
     sim_drift = jnp.asarray(coeffs.log_fwd_drift, dtype)
 
-    def make_reg():
-        logger.info("Starting regression spot price simulation.")
-        with stopwatches.time("RegressionPriceSimulation"):
-            f = simulate_factor_paths(coeffs, num_sims, None, antithetic, dtype, key=reg_key)
-        logger.info("Spot regression price simulation complete.")
-        if return_sim_panels:
-            sims_cache["reg"] = spots_from_factor_paths(f, sim_vols, sim_drift)
-        return f
+    # Long-horizon x production-path configs (e.g. multi-year hourly) cannot
+    # materialise the full [m, F, S] factor array in HBM; past this budget
+    # the engine streams paths span-by-span from checkpointed OU states
+    # (bit-identical draws — see StreamingFactorSource).  Panels-per-sim are
+    # incompatible with streaming (they are O(n x S) themselves).
+    path_bytes = (
+        len(sim_periods) * len(factors) * num_sims * jnp.dtype(dtype).itemsize
+    )
+    max_path_bytes = int(
+        float(os.environ.get("STORAGE_TPU_MAX_PATH_BYTES", 6e9))
+    )
+    streaming = path_bytes > max_path_bytes
+    if streaming and return_sim_panels:
+        raise ValueError(
+            f"return_sim_panels=True requires materialising O(n_steps x "
+            f"num_sims) panels, but this configuration's factor paths alone "
+            f"({path_bytes / 1e9:.1f} GB) exceed the device budget "
+            f"({max_path_bytes / 1e9:.1f} GB, STORAGE_TPU_MAX_PATH_BYTES); "
+            "pass return_sim_panels=False."
+        )
+    if streaming:
+        from .models.simulation import StreamingFactorSource
 
-    def make_val():
-        logger.info("Starting valuation spot price simulation.")
-        with stopwatches.time("ValuationPriceSimulation"):
-            f = simulate_factor_paths(coeffs, num_sims, None, antithetic, dtype, key=val_key)
-        logger.info("Valuation spot price simulation complete.")
-        if return_sim_panels:
-            sims_cache["val"] = spots_from_factor_paths(f, sim_vols, sim_drift)
-        return f
+        # Span length targeting ~1 GB of regenerated factors per span (and
+        # never more than a quarter of the budget, so tests with a tiny
+        # STORAGE_TPU_MAX_PATH_BYTES actually exercise multiple spans).
+        per_step_bytes = len(factors) * num_sims * jnp.dtype(dtype).itemsize
+        span_target = min(1e9, max_path_bytes / 4)
+        every = max(64, int(span_target // max(per_step_bytes, 1)))
+
+        def make_reg():
+            logger.info("Streaming regression path simulation (span=%d).", every)
+            return StreamingFactorSource(
+                coeffs, num_sims, reg_key, antithetic, dtype, every=every,
+                mesh=mesh,
+            )
+
+        def make_val():
+            logger.info("Streaming valuation path simulation (span=%d).", every)
+            return StreamingFactorSource(
+                coeffs, num_sims, val_key, antithetic, dtype, every=every,
+                mesh=mesh,
+            )
+    else:
+        def make_reg():
+            logger.info("Starting regression spot price simulation.")
+            with stopwatches.time("RegressionPriceSimulation"):
+                f = simulate_factor_paths(coeffs, num_sims, None, antithetic, dtype, key=reg_key)
+            logger.info("Spot regression price simulation complete.")
+            if return_sim_panels:
+                sims_cache["reg"] = spots_from_factor_paths(f, sim_vols, sim_drift)
+            return f
+
+        def make_val():
+            logger.info("Starting valuation spot price simulation.")
+            with stopwatches.time("ValuationPriceSimulation"):
+                f = simulate_factor_paths(coeffs, num_sims, None, antithetic, dtype, key=val_key)
+            logger.info("Valuation spot price simulation complete.")
+            if return_sim_panels:
+                sims_cache["val"] = spots_from_factor_paths(f, sim_vols, sim_drift)
+            return f
 
     logger.info("Calculating LSMC value.")
     arrays = run_lsmc(

@@ -21,11 +21,15 @@ class TestSpotPriceSimGolden:
     (same model: 3 factors, same vol/fwd curves, seed 12, 4 sims) with
     threefry-pinned values."""
 
+    # Re-pinned for the per-block threefry keying introduced with streaming
+    # re-simulation (models/simulation.py _block_normals): draws are keyed by
+    # fold_in(key, block_start) per 16-step block so chunked regeneration is
+    # bit-identical to the monolithic kernel.
     GOLDEN = {
-        0: [57.00608825683594, 56.122398376464844, 132.43711853027344],
-        1: [46.420753479003906, 55.15582275390625, 50.219242095947266],
-        2: [72.07681274414062, 54.70003890991211, 69.77035522460938],
-        3: [55.534263610839844, 40.326473236083984, 47.345191955566406],
+        0: [48.22341537475586, 52.962684631347656, 71.82847595214844],
+        1: [62.216041564941406, 60.40741729736328, 61.58184051513672],
+        2: [53.616703033447266, 45.66847610473633, 108.35804748535156],
+        3: [54.27455520629883, 37.887332916259766, 67.95614624023438],
     }
 
     def build_sim(self, seed=12, antithetic=False):

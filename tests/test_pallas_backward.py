@@ -80,9 +80,16 @@ class TestBackwardKernelParity:
     def test_matches_xla_backward(self, scenario):
         v_x, cf_x, mu_x, sd_x, vb_x = run_backward(scenario, use_pallas=False)
         v_p, cf_p, mu_p, sd_p, vb_p = run_backward(scenario, use_pallas=True)
-        # Regression statistics depend only on the factor paths: exact.
-        np.testing.assert_allclose(np.asarray(mu_p), np.asarray(mu_x), rtol=1e-6)
-        np.testing.assert_allclose(np.asarray(sd_p), np.asarray(sd_x), rtol=1e-6)
+        # Regression statistics depend only on the factor paths: equal to
+        # f32 last-bit reduction noise (the kernel's masked/padded block sums
+        # vs XLA's column means; the atol floor covers near-zero means where
+        # a 1-ulp difference is a large relative one).
+        np.testing.assert_allclose(
+            np.asarray(mu_p), np.asarray(mu_x), rtol=1e-6, atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(sd_p), np.asarray(sd_x), rtol=1e-6, atol=1e-7
+        )
         # vbar: the two paths fit slightly different regressions (exact XLA
         # normal equations vs kernel partials, coeff q99.5 diff ~1.5e-3),
         # whose near-tie policy flips move a handful of sims' REALISED values
