@@ -54,13 +54,21 @@ def _empty_profile(freq: str) -> pd.DataFrame:
     )
 
 
+# The axon remote compiler's time for this program grows sharply with scan
+# trip count (measured: 1,416 hourly steps ~2.6 s warm, 8,760 steps >20 min),
+# so long horizons run as uniform sub-scans: every full chunk reuses ONE
+# compiled program, and the carry crosses chunk seams exactly, so results
+# are bit-identical to the single-scan form.
+_INTRINSIC_CHUNK = 1024
+
+
 @partial(jax.jit, static_argnames=("interp_kind", "num_grid_points", "extra_decisions", "cubic"))
-def _backward_values(
-    grids,  # [n+1, G]
-    space_min,  # [n+1]
-    space_max,  # [n+1]
-    pillars,  # [n, P, 3]
-    loss,  # [n]
+def _backward_values_chunk(
+    grids,  # [c, G] decision-period grids for this chunk
+    space_min,  # [c] NEXT-period inventory-space bounds
+    space_max,  # [c]
+    pillars,  # [c, P, 3]
+    loss,  # [c]
     inject_cost,
     withdraw_cost,
     cons_inject,
@@ -68,19 +76,20 @@ def _backward_values(
     inv_cost_rate,
     df_settle,
     df_start,
-    fwd,  # [n+1]
-    terminal_values,  # [G]
+    fwd,  # [c]
+    v_end,  # [G] value entering the period AFTER this chunk
     interp_kind: int,
     num_grid_points: int,
     extra_decisions: int = 0,
     cubic: bool = False,
 ):
-    """Backward induction; returns the value function ``[n+1, G]`` on each
-    period's grid (reference backward loop ``IntrinsicStorageValuation.cs:191-216``).
+    """One reverse-scanned chunk of the intrinsic backward induction
+    (reference backward loop ``IntrinsicStorageValuation.cs:191-216``).
 
-    ``cubic=True`` interpolates the continuation with a natural cubic spline
-    (reference ``WithCubicSplineInventorySpaceInterpolation``); linear is the
-    default and recommended, matching the reference's own warning.
+    Returns ``(v_first [G], values [c, G])``.  ``cubic=True`` interpolates
+    the continuation with a natural cubic spline (reference
+    ``WithCubicSplineInventorySpaceInterpolation``); linear is the default
+    and recommended, matching the reference's own warning.
     """
 
     def step(v_next, inputs):
@@ -107,9 +116,9 @@ def _backward_values(
         return v_k, v_k
 
     xs = (
-        grids[:-1],
-        space_min[1:],
-        space_max[1:],
+        grids,
+        space_min,
+        space_max,
         pillars,
         loss,
         inject_cost,
@@ -119,10 +128,62 @@ def _backward_values(
         inv_cost_rate,
         df_settle,
         df_start,
-        fwd[:-1],
+        fwd,
     )
-    _, values = jax.lax.scan(step, terminal_values, xs, reverse=True)
-    return jnp.concatenate([values, terminal_values[None, :]], axis=0)
+    v_first, values = jax.lax.scan(step, v_end, xs, reverse=True)
+    return v_first, values
+
+
+def _backward_values(
+    grids,  # [n+1, G]
+    space_min,  # [n+1]
+    space_max,  # [n+1]
+    pillars,  # [n, P, 3]
+    loss,  # [n]
+    inject_cost,
+    withdraw_cost,
+    cons_inject,
+    cons_withdraw,
+    inv_cost_rate,
+    df_settle,
+    df_start,
+    fwd,  # [n+1]
+    terminal_values,  # [G]
+    interp_kind: int,
+    num_grid_points: int,
+    extra_decisions: int = 0,
+    cubic: bool = False,
+):
+    """Backward induction; returns the value function ``[n+1, G]`` on each
+    period's grid, chunked into uniform reverse sub-scans (see the
+    ``_INTRINSIC_CHUNK`` note) with the carry crossing seams exactly.
+
+    Inputs are HOST (NumPy) arrays: chunk slicing happens host-side (a
+    device-array slice at each new offset would compile a distinct tiny
+    program on the remote-compile backend) and each chunk transfers on call.
+    """
+    n = pillars.shape[0]
+    statics = dict(
+        interp_kind=interp_kind, num_grid_points=num_grid_points,
+        extra_decisions=extra_decisions, cubic=cubic,
+    )
+    dtype = grids.dtype
+    v = jnp.asarray(terminal_values, dtype)
+    parts = [np.asarray(terminal_values, dtype)[None, :]]
+    for b in range(n, 0, -_INTRINSIC_CHUNK):
+        a = max(0, b - _INTRINSIC_CHUNK)
+        v, values_c = _backward_values_chunk(
+            jnp.asarray(grids[a:b]), jnp.asarray(space_min[a + 1 : b + 1]),
+            jnp.asarray(space_max[a + 1 : b + 1]), jnp.asarray(pillars[a:b]),
+            jnp.asarray(loss[a:b]), jnp.asarray(inject_cost[a:b]),
+            jnp.asarray(withdraw_cost[a:b]), jnp.asarray(cons_inject[a:b]),
+            jnp.asarray(cons_withdraw[a:b]), jnp.asarray(inv_cost_rate[a:b]),
+            jnp.asarray(df_settle[a:b]), jnp.asarray(df_start[a:b]),
+            jnp.asarray(fwd[a:b]), v,
+            **statics,
+        )
+        parts.insert(0, np.asarray(values_c))
+    return np.concatenate(parts, axis=0)
 
 
 def _host_cubic_moments(y: np.ndarray, h: float) -> np.ndarray:
@@ -299,21 +360,22 @@ def intrinsic_value_with_ctx(
         terminal = np.asarray(ctx.storage.terminal_npv_fn(ctx.fwd[n], grid_end), dtype=np.float64)
         terminal = np.broadcast_to(terminal, grid_end.shape)
 
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
     values = _backward_values(
-        jnp.asarray(ctx.grids, dtype),
-        jnp.asarray(ctx.inv_space.min_inventory, dtype),
-        jnp.asarray(ctx.inv_space.max_inventory, dtype),
-        jnp.asarray(ctx.pillars, dtype),
-        jnp.asarray(ctx.inventory_loss, dtype),
-        jnp.asarray(ctx.inject_cost, dtype),
-        jnp.asarray(ctx.withdraw_cost, dtype),
-        jnp.asarray(ctx.cons_inject, dtype),
-        jnp.asarray(ctx.cons_withdraw, dtype),
-        jnp.asarray(ctx.inventory_cost_rate, dtype),
-        jnp.asarray(ctx.df_settle, dtype),
-        jnp.asarray(ctx.df_cost, dtype),
-        jnp.asarray(ctx.fwd, dtype),
-        jnp.asarray(terminal, dtype),
+        np.asarray(ctx.grids, np_dtype),
+        np.asarray(ctx.inv_space.min_inventory, np_dtype),
+        np.asarray(ctx.inv_space.max_inventory, np_dtype),
+        np.asarray(ctx.pillars, np_dtype),
+        np.asarray(ctx.inventory_loss, np_dtype),
+        np.asarray(ctx.inject_cost, np_dtype),
+        np.asarray(ctx.withdraw_cost, np_dtype),
+        np.asarray(ctx.cons_inject, np_dtype),
+        np.asarray(ctx.cons_withdraw, np_dtype),
+        np.asarray(ctx.inventory_cost_rate, np_dtype),
+        np.asarray(ctx.df_settle, np_dtype),
+        np.asarray(ctx.df_cost, np_dtype),
+        np.asarray(ctx.fwd, np_dtype),
+        np.asarray(terminal, np_dtype),
         interp_kind=ctx.interp_kind,
         num_grid_points=ctx.num_grid_points,
         extra_decisions=extra_decisions,

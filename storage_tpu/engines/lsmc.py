@@ -776,6 +776,14 @@ _MAX_SCAN_ELEMENTS = 1_000_000_000
 # probing every run for the zeroed-surface signature.
 _MAX_SCAN_ELEMENTS_PALLAS = 1_000_000_000_000
 
+# The fused FORWARD kernel keeps its whole span horizon VMEM-resident per
+# sim block (~17 KB/step at 1024 lanes, double-buffered), so span length is
+# bounded by the 16 MB scoped-VMEM limit: 341 steps compiles, 512 overflows
+# by 16 KB (measured on v5e).  256 leaves ~2x headroom for wider bases.
+# The backward kernel dispatches per STEP (constant scoped VMEM) and has no
+# such span bound.
+_FORWARD_PALLAS_MAX_SPAN = 256
+
 
 def _check_backward_health(coeffs, vbars) -> None:
     """Cheap post-run probe for the silent-zeroing backend failure that
@@ -1366,13 +1374,16 @@ def _run_lsmc_chunked(
 
     dfd = dev.df_settle if discount_deltas else jnp.ones_like(dev.df_settle)
 
-    fwd_spans = _refine_spans(
-        m, max_steps, max(num_progress_chunks, min_chunks), val_spans
-    )
-    total_fwd = max(1, len(fwd_spans))
     fpal = _pallas_forward_eligible(
         ctx, extra_decisions, mesh, collect_panels, num_sims, dtype
     )
+    max_steps_fwd = (
+        min(max_steps, _FORWARD_PALLAS_MAX_SPAN) if fpal is not None else max_steps
+    )
+    fwd_spans = _refine_spans(
+        m, max_steps_fwd, max(num_progress_chunks, min_chunks), val_spans
+    )
+    total_fwd = max(1, len(fwd_spans))
     if fpal is not None:
         # Fused-kernel forward, chunked by progress span: the per-sim
         # inventory carry threads between kernel invocations, per-sim PV adds.
@@ -1770,11 +1781,26 @@ def _forward_program_pallas(
         jnp.asarray(a, dtype)
         for a in (inv0, tables, mus, sds, scalars, dev.pillars[first:n])
     )
-    sums, xsums, inv_final, pv_final = pallas_forward_sim(
-        val_factors[:m], inv0, tables, mus, sds, pillars, scalars,
-        spec=spec, interp_kind=interp_kind, num_grid=G, block_sims=block_sims,
-        interpret=interpret, mesh=mesh,
-    )
+    # The kernel's scoped VMEM scales with span length (it keeps the whole
+    # span horizon resident per sim block) — split past the measured bound.
+    # Trace-time loop: still ONE XLA program, several pallas_call ops.
+    inv_carry = jnp.broadcast_to(jnp.asarray(inv0, dtype), (num_sims,))
+    pv_final = jnp.zeros((num_sims,), dtype)
+    sums_parts, xsum_parts = [], []
+    for a in range(0, m, _FORWARD_PALLAS_MAX_SPAN):
+        b = min(a + _FORWARD_PALLAS_MAX_SPAN, m)
+        sums_c, xsums_c, inv_carry, pv_c = pallas_forward_sim(
+            val_factors[a:b], inv_carry, tables[a:b], mus[a:b], sds[a:b],
+            pillars[a:b], scalars[a:b],
+            spec=spec, interp_kind=interp_kind, num_grid=G,
+            block_sims=block_sims, interpret=interpret, mesh=mesh,
+        )
+        pv_final = pv_final + pv_c
+        sums_parts.append(sums_c)
+        xsum_parts.append(xsums_c)
+    sums = jnp.concatenate(sums_parts, axis=0) if len(sums_parts) > 1 else sums_parts[0]
+    xsums = jnp.concatenate(xsum_parts, axis=0) if len(xsum_parts) > 1 else xsum_parts[0]
+    inv_final = inv_carry
 
     stacked = _pallas_stacked_outputs(
         sums, xsums, tables, dev, dfd, first, n, num_sims, interp_kind, G,

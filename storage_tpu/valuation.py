@@ -285,9 +285,14 @@ def _multi_factor_calc(
         # Span length targeting ~1 GB of regenerated factors per span (and
         # never more than a quarter of the budget, so tests with a tiny
         # STORAGE_TPU_MAX_PATH_BYTES actually exercise multiple spans).
+        # Capped at the forward kernel's VMEM-bounded span so the engine's
+        # forward sub-spans map 1:1 onto source spans (no double regen).
+        from .engines.lsmc import _FORWARD_PALLAS_MAX_SPAN
+
         per_step_bytes = len(factors) * num_sims * jnp.dtype(dtype).itemsize
         span_target = min(1e9, max_path_bytes / 4)
         every = max(64, int(span_target // max(per_step_bytes, 1)))
+        every = min(every, _FORWARD_PALLAS_MAX_SPAN)
 
         def make_reg():
             logger.info("Streaming regression path simulation (span=%d).", every)
