@@ -363,20 +363,15 @@ def backward_scan_pallas(
     if S_pad != S:
         factors_t = jnp.pad(factors, ((0, 0), (0, 0), (0, S_pad - S)))
 
-    def kernel_step(k, coeffs, mu, sd, vbar_next, v_next_t, xs_k):
-        """Dispatch the fused kernel for period k (regression already solved).
+    def step_geometry(grid, lo, hi, pil, lo_r, ic, wc, ci, cw, icr, dfs, df0):
+        """Per-period decision geometry: interp matrices + affine economics.
 
-        The kernel also emits Gram/RHS partials for period k-1's regression
-        (computed from factors[k-1] against the surface it just wrote), so
-        the scan's next iteration skips the XLA design/standardize/Gram pass
-        entirely — the [S, B] design matrix never materialises in HBM.
+        Depends only on the grid/ratchet/cost structure — NOT on the carried
+        value surface or regression — so it is vmapped over ALL periods once
+        before the scan instead of recomputed on the scan's serial path
+        (one_hot builds and the pillar walk are VPU-latency-bound glue that
+        otherwise sits between kernel dispatches).
         """
-        (vols, drift, vols_p, drift_p, grid, lo, hi, pil, lo_r, ic, wc, ci, cw,
-         icr, dfs, df0) = xs_k
-        f = jax.lax.dynamic_index_in_dim(factors_t, k, 0, keepdims=False)
-        f_prev = jax.lax.dynamic_index_in_dim(
-            factors_t, jnp.maximum(k - 1, 0), 0, keepdims=False
-        )
         econ = step_economics(
             grid, pil, interp_kind, lo_r, lo, hi, ic, wc, ci, cw, icr, dfs, df0,
             extra_decisions,
@@ -387,7 +382,8 @@ def backward_scan_pallas(
         # surface product then needs only two bf16 MXU passes (M @ v_hi +
         # M @ v_lo) with no weight-rounding residual, and the weights still
         # sum to exactly 1 (no bias on constant surfaces).  The ~0.8%-of-a-
-        # grid-cell weight shift is discretisation-level noise.
+        # grid-cell weight shift is discretisation-level noise (bounded by
+        # tests/test_lsmc.py::TestWeightQuantization).
         w = jnp.round(w * 128.0) / 128.0
         # M_d [G_query, G_next]: row g holds the two interpolation weights of
         # query point g on the next grid (the kernel computes M_d @ V').
@@ -399,6 +395,21 @@ def backward_scan_pallas(
             ],
             axis=0,
         )  # [D, G, G]
+        return wdt, econ.cost_npv.T, econ.price_coeff.T  # [D,G,G], [D,G], [D,G]
+
+    def kernel_step(k, coeffs, mu, sd, vbar_next, v_next_t, xs_k):
+        """Dispatch the fused kernel for period k (regression already solved).
+
+        The kernel also emits Gram/RHS partials for period k-1's regression
+        (computed from factors[k-1] against the surface it just wrote), so
+        the scan's next iteration skips the XLA design/standardize/Gram pass
+        entirely — the [S, B] design matrix never materialises in HBM.
+        """
+        (vols, drift, vols_p, drift_p, wdt, cost_t, price_t) = xs_k
+        f = jax.lax.dynamic_index_in_dim(factors_t, k, 0, keepdims=False)
+        f_prev = jax.lax.dynamic_index_in_dim(
+            factors_t, jnp.maximum(k - 1, 0), 0, keepdims=False
+        )
         # Augmented decision tables [D, G, B+2]: associativity-fold the
         # fitted interpolation through the coefficients (columns 0..B-1 =
         # M_d @ coeffs') AND fold the immediate economics into the same
@@ -414,8 +425,8 @@ def backward_scan_pallas(
         cwa_t = jnp.concatenate(
             [
                 cwa_x,
-                (vbar_d - econ.cost_npv.T)[..., None],
-                econ.price_coeff.T[..., None],
+                (vbar_d - cost_t)[..., None],
+                price_t[..., None],
             ],
             axis=-1,
         )  # [D, G, B+2]
@@ -444,10 +455,16 @@ def backward_scan_pallas(
 
     vols_prev = jnp.concatenate([sim_vols[:1], sim_vols[:-1]], axis=0)
     drift_prev = jnp.concatenate([sim_drift[:1], sim_drift[:-1]], axis=0)
+    # Whole-span geometry precompute (one fused vmapped program; the scan
+    # then reads [D, G, G]-sized slices per step — ~120 KB of HBM traffic,
+    # nothing on the serial dispatch path).
+    wdt_all, cost_t_all, price_t_all = jax.vmap(step_geometry)(
+        grids, next_lo, next_hi, pillars, loss, inject_cost, withdraw_cost,
+        cons_inject, cons_withdraw, inv_cost_rate, df_settle, df_start,
+    )
     all_xs = (
-        sim_vols, sim_drift, vols_prev, drift_prev, grids, next_lo, next_hi,
-        pillars, loss, inject_cost, withdraw_cost, cons_inject, cons_withdraw,
-        inv_cost_rate, df_settle, df_start,
+        sim_vols, sim_drift, vols_prev, drift_prev,
+        wdt_all, cost_t_all, price_t_all,
     )
 
     # Hoisted latest period (k = m-1): its regression has no kernel partials
