@@ -152,7 +152,13 @@ def main() -> None:
                     f"{type(exc).__name__}: {exc}",
                     file=sys.stderr,
                 )
-                if "RESOURCE_EXHAUSTED" not in str(exc):
+                # RESOURCE_EXHAUSTED: another tenant transiently holds HBM.
+                # FAILED_PRECONDITION: the shared chip is wedged after an
+                # aborted run; both recover with a wait (observed on axon).
+                if not any(
+                    s in str(exc)
+                    for s in ("RESOURCE_EXHAUSTED", "FAILED_PRECONDITION")
+                ):
                     break
                 time.sleep(60)
         if out is not None:
