@@ -132,10 +132,48 @@ def run(num_sims: int) -> dict:
     }
 
 
+def wait_for_hbm(min_free_gb: float = 6.0, max_wait_s: float = 900.0) -> None:
+    """Block until a probe allocation fits in HBM (shared-chip tenancy).
+
+    The axon chip is multi-tenant: another tenant can transiently hold nearly
+    all HBM for minutes (observed repeatedly), failing every attempt of the
+    retry ladder below.  A cheap allocation probe every 30 s costs nothing
+    when the chip is free and converts a wasted ladder into a short wait when
+    it is not.  Proceeds regardless after ``max_wait_s`` — the ladder's own
+    retries then give a last chance.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() == "cpu":
+        return
+    n = int(min_free_gb * (1 << 28))  # f32 elements
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        try:
+            x = jnp.zeros((n,), jnp.float32)
+            x.block_until_ready()
+            del x
+            return
+        except Exception as exc:  # noqa: BLE001 - allocation probe
+            attempt += 1
+            remaining = deadline - time.monotonic()
+            print(
+                f"# HBM probe {attempt} failed ({type(exc).__name__}); "
+                f"{remaining:.0f}s of wait budget left",
+                file=sys.stderr,
+            )
+            if remaining <= 0:
+                return
+            time.sleep(30)
+
+
 def main() -> None:
     import jax
 
     num_chips = jax.device_count()
+    wait_for_hbm()
 
     for num_sims in (1_000_000, 500_000, 250_000):
         # A shared chip can be transiently out of HBM while another tenant
