@@ -132,7 +132,7 @@ def run(num_sims: int) -> dict:
     }
 
 
-def wait_for_hbm(min_free_gb: float = 6.0, max_wait_s: float = 900.0) -> None:
+def wait_for_hbm(min_free_gb: float = 10.0, max_wait_s: float = 900.0) -> None:
     """Block until a probe allocation fits in HBM (shared-chip tenancy).
 
     The axon chip is multi-tenant: another tenant can transiently hold nearly
