@@ -31,6 +31,11 @@ import jax
 if MODE == "ref":
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+    # The study isolates f32-vs-f64 ROUNDING: the f64 leg must use the same
+    # 1/128-quantized interpolation weights as the TPU kernel, or the table
+    # conflates precision with the quantization difference (which is bounded
+    # separately by tests/test_lsmc.py::TestWeightQuantization).
+    os.environ["STORAGE_TPU_QUANTIZE_WEIGHTS"] = "1"
 
 import jax.numpy as jnp
 import numpy as np
