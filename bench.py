@@ -121,6 +121,14 @@ def run(num_sims: int) -> dict:
             file=sys.stderr,
         )
         fallback = True
+    if fallback:
+        # Run the fallback OUTSIDE the except block: the caught exception's
+        # traceback pins the failed attempt's frames (and with them several
+        # GB of device buffers) until the handler exits — running the
+        # chunked driver under it OOMs a chip the fresh driver would fit.
+        import gc
+
+        gc.collect()
         sink = lambda p: None  # noqa: E731
         results = once(seed=12, progress_sink=sink)
     t0 = time.perf_counter()
@@ -170,10 +178,11 @@ def wait_for_hbm(min_free_gb: float = 10.0, max_wait_s: float = 900.0) -> None:
 
 
 def main() -> None:
+    import gc
+
     import jax
 
     num_chips = jax.device_count()
-    wait_for_hbm()
 
     for num_sims in (1_000_000, 500_000, 250_000):
         # A shared chip can be transiently out of HBM while another tenant
@@ -181,6 +190,14 @@ def main() -> None:
         # seconds).  Retry with a wait before concluding the size is too big.
         out = None
         for attempt in range(3):
+            # Drop every device buffer a previous failed attempt may still
+            # pin (exception tracebacks hold frames; jit caches hold donated
+            # aliases) — without this, a failed 1M warm-up makes the 250k
+            # step-down fail on a chip that would fit it fresh.
+            gc.collect()
+            jax.clear_caches()
+            wait_for_hbm(min_free_gb=max(3.0, 10.0 * num_sims / 1_000_000),
+                         max_wait_s=300.0 if attempt else 600.0)
             try:
                 out = run(num_sims)
                 break
