@@ -278,17 +278,23 @@ def trinomial_deltas(
     fwd_contracts,
     num_inventory_grid_points: int = 100,
     numerical_tolerance: float = 1e-12,
-    delta_shift: float = 0.01,
+    delta_shift: Optional[float] = None,
+    dtype=jnp.float32,
 ):
     """Bump-and-revalue deltas per forward contract
     (reference ``trinomial.py:88-118``).
 
-    ``delta_shift`` defaults to 0.01 rather than the reference's 1e-5
-    (``trinomial.py:100``): the DP here runs in float32, where a 1e-5 bump
-    sits below the NPV's floating-point resolution.
+    ``delta_shift`` defaults by precision: 0.01 in the float32 default mode
+    (the reference's 1e-5 bump — ``trinomial.py:100`` — sits below a float32
+    NPV's resolution, and bump-size studies show 0.01 recovers the f64
+    small-bump deltas to ~1e-3), and the reference's 1e-5 under
+    ``dtype=jnp.float64`` (with ``jax.enable_x64``), where the DP carries
+    enough mantissa for the reference default to be exact.
     """
     from ..utils.contracts import to_period_range
 
+    if delta_shift is None:
+        delta_shift = 1e-5 if jnp.dtype(dtype) == jnp.dtype("float64") else 0.01
     freq = normalize_freq(cmdty_storage.freq)
     curve = forward_curve.copy()
     deltas = []
@@ -299,13 +305,13 @@ def trinomial_deltas(
         up = trinomial_value(
             cmdty_storage, val_date, inventory, curve, spot_volatility, mean_reversion,
             time_step, interest_rates, settlement_rule, num_inventory_grid_points,
-            numerical_tolerance,
+            numerical_tolerance, dtype=dtype,
         )
         curve[start:end] = base - delta_shift
         down = trinomial_value(
             cmdty_storage, val_date, inventory, curve, spot_volatility, mean_reversion,
             time_step, interest_rates, settlement_rule, num_inventory_grid_points,
-            numerical_tolerance,
+            numerical_tolerance, dtype=dtype,
         )
         deltas.append((up - down) / (2.0 * delta_shift))
         curve[start:end] = base
