@@ -430,27 +430,6 @@ def backward_scan_pallas(
             ],
             axis=-1,
         )  # [D, G, B+2]
-        # Augmented ACTUAL tables (bf16): the kernel's realised-value product
-        # carries the immediate economics through three extra columns against
-        # [ones; s_hi; s_hi|s_lo] RHS rows (see _backward_kernel).  The affine
-        # offset is centred on vbar so its two-term bf16 hi/lo split stays at
-        # the same absolute error scale as the surface split; the spot
-        # coefficient splits as b_hi (both passes) + b_lo (hi pass), dropping
-        # only the ~1.6e-5-relative b_lo*s_lo cross term.
-        m16 = wdt.astype(jnp.bfloat16)  # exact: weights are k/128
-        a_aff = vbar_d - vbar_next[None, :] - cost_t  # [D, G]
-        a_hi = a_aff.astype(jnp.bfloat16)
-        a_lo = (a_aff - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        b_hi = price_t.astype(jnp.bfloat16)
-        b_lo = (price_t - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        wahi = jnp.concatenate(
-            [m16, a_hi[..., None], b_hi[..., None], b_lo[..., None]], axis=-1
-        )  # [D, G, G+3]
-        walo = jnp.concatenate(
-            [m16, a_lo[..., None], b_hi[..., None],
-             jnp.zeros_like(b_hi)[..., None]],
-            axis=-1,
-        )  # [D, G, G+3]
         musd = jnp.stack([mu, sd], axis=0)
         scal = jnp.stack(
             [jnp.concatenate([drift[None], vols]),
@@ -458,15 +437,15 @@ def backward_scan_pallas(
             axis=0,
         )  # [2, 1+F]
         vbar_in = vbar_next[:, None]
-        # Kernel refs are typed by out_shape: pin every f32 operand so
+        # Kernel refs are typed by out_shape: pin every operand to f32 so
         # weak-type promotion (e.g. under jax_enable_x64) can't feed the f32
-        # kernel f64 inputs (the wahi/walo tables are bf16 by construction).
-        f, f_prev, cwa_t, vbar_in, musd, scal = (
+        # kernel f64 inputs.
+        f, f_prev, wdt, cwa_t, vbar_in, musd, scal = (
             jnp.asarray(a, jnp.float32)
-            for a in (f, f_prev, cwa_t, vbar_in, musd, scal)
+            for a in (f, f_prev, wdt, cwa_t, vbar_in, musd, scal)
         )
         return pallas_backward_update(
-            f, f_prev, v_next_t, cwa_t, vbar_in, musd, wahi, walo, scal,
+            f, f_prev, v_next_t, cwa_t, vbar_in, musd, wdt, scal,
             spec=spec, num_grid=G, block_sims=block_sims, true_sims=true_local,
             interpret=interpret, mesh=mesh,
         ), musd

@@ -27,11 +27,9 @@ is associativity-folded into the coefficient table
 (``interp_d(Xn' C') == (M_d @ C') Xn1``) and the immediate economics fold
 into the SAME skinny dot through trailing ones/spot rows of the design, so
 ``immediate + fitted`` is one ``[G, B+2] x [B+2, bS]`` MXU product per
-decision.  Only the ACTUAL surface pays the big ``[G, G+3] x [G+3, bS]``
-product — two bf16 passes on the vbar-centred hi/lo-split surface, with the
-immediate economics riding the same passes through three augmented rows
-(see the scheme at the split site below), so the whole per-decision realised
-value is two MXU ops plus ONE VPU add.
+decision.  Only the ACTUAL surface pays the big ``[G, G] x [G, bS]``
+product — a 6-pass HIGHEST f32 dot on the vbar-centred surface (no VPU-side
+split/add chains; both engine precision modes share this path).
 
 It also emits per-block row sums of the new surface, so the scan body can
 carry the sim-mean ``vbar`` (used to centre the next regression target —
@@ -72,8 +70,7 @@ def _backward_kernel(
     cwa_ref,  # [D, G, B+2] augmented decision tables (see backward_scan_pallas)
     vbar_ref,  # [G, 1] sim-mean of the next-period surface
     musd_ref,  # [2, B] standardization mean / scale
-    wahi_ref,  # [D, G, G+3] bf16 hi actual tables [M_d | a_hi | b_hi | b_lo]
-    walo_ref,  # [D, G, G+3] bf16 lo actual tables [M_d | a_lo | b_hi | 0]
+    wdt_ref,  # [D, G, G] per-decision interp matrices, M_d (query x next)
     scal_ref,  # [2, 1+F] drift, vol loadings for this and the previous period
     v_out_ref,  # out [G, bS] this-period values
     graw_ref,  # out [1, B+1, B+1] raw Gram partials of the PREVIOUS design
@@ -119,28 +116,9 @@ def _backward_kernel(
     # the full ~16-bit effective precision — half the passes of the classic
     # bf16x3 split and a third of HIGHEST (which was measured slower at
     # equal accuracy and rejected; see ROUND2_NOTES.md).
-    #
-    # The per-decision immediate economics ride the SAME two passes through
-    # three augmented RHS rows [ones; s_hi; s_hi|s_lo] against augmented
-    # table columns (built in backward_scan_pallas.kernel_step):
-    #   hi: [M | a_hi | b_hi | b_lo] @ [v_hi; 1; s_hi; s_hi]
-    #   lo: [M | a_lo | b_hi |  0  ] @ [v_lo; 1; s_lo; s_lo]
-    # sums to M@v_c + a + b*s  minus the dropped b_lo*s_lo cross term
-    # (~1.6e-5 relative of b*s).  The affine offset a is CENTRED on vbar
-    # (a = M_d@vbar - vbar - cost_npv, see kernel_step) so its two-term bf16
-    # split carries the same absolute error scale as the v_c split; the
-    # decision-independent vbar adds back once, after the argmax select.
-    # This keeps the whole per-decision actual to ONE VPU add (q_hi + q_lo)
-    # — the broadcast affine adds were ~3 VPU ops x [G, bS] per decision on
-    # the scan's serial path.
     v_c = v_ref[...] - vbar_ref[...]  # [G, bS]
     v_hi = v_c.astype(jnp.bfloat16)
     v_lo = (v_c - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    ones16 = jnp.ones((1, bS), jnp.bfloat16)
-    s_hi = spot.astype(jnp.bfloat16)
-    s_lo = (spot - s_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    xv_hi = jnp.concatenate([v_hi, ones16, s_hi, s_hi], axis=0)  # [G+3, bS]
-    xv_lo = jnp.concatenate([v_lo, ones16, s_lo, s_lo], axis=0)  # [G+3, bS]
 
     best_fitted = None
     best_actual = None
@@ -150,9 +128,16 @@ def _backward_kernel(
         # column B+1 (spot row) carries price_coeff, so this product IS
         # immediate + fitted continuation.
         total = _mm(cwa_ref[d], xn1, jax.lax.Precision.HIGHEST)
-        # Realised (vbar-centred) value of the same decision: both bf16
-        # passes carry the actual continuation AND the affine economics.
-        actual = _mm(wahi_ref[d], xv_hi) + _mm(walo_ref[d], xv_lo)
+        # Realised value of the same decision: centred actual continuation
+        # plus the same affine pieces — column B is (M_d@vbar - cost_npv),
+        # which is exactly the act-side offset too since q_d is centred.
+        m16 = wdt_ref[d].astype(jnp.bfloat16)  # exact: weights are k/128
+        q_d = _mm(m16, v_hi) + _mm(m16, v_lo)
+        actual = (
+            q_d
+            + cwa_ref[d, :, B][:, None]
+            + cwa_ref[d, :, B + 1][:, None] * spot
+        )
         if best_fitted is None:  # decision 0 seeds unconditionally (NaN guard)
             best_fitted = total
             best_actual = actual
@@ -161,10 +146,7 @@ def _backward_kernel(
             best_fitted = jnp.where(better, total, best_fitted)
             best_actual = jnp.where(better, actual, best_actual)
 
-    # best_actual is centred on vbar (the tables' affine column subtracts
-    # it); the surface write restores the offset and praw uses the centred
-    # values directly — same op count as the old uncentred write + centring.
-    v_out_ref[...] = best_actual + vbar_ref[...]
+    v_out_ref[...] = best_actual
 
     # Regression partials for the NEXT scan step, computed while the
     # just-written surface is still in VMEM: the previous period's design
@@ -185,9 +167,8 @@ def _backward_kernel(
     ) * valid_f  # [B+1, bS] approx-standardized, masked
     # The ones row of praw doubles as the (centred) row sums of the new
     # surface, so no separate row-sum output is emitted: the caller recovers
-    # the new sim-mean as vbar_next + praw[B] / S.  best_actual is already
-    # the vbar-centred surface (see above) — no subtract needed.
-    v_out_c = best_actual
+    # the new sim-mean as vbar_next + praw[B] / S.
+    v_out_c = best_actual - vbar_ref[...]
     lanes_dn = (((1,), (1,)), ((), ()))
     graw_ref[0, :, :] = jax.lax.dot_general(
         xr, xr, dimension_numbers=lanes_dn,
@@ -208,8 +189,7 @@ def _backward_update_local(
     cwa_t,  # [D, G, B+2]
     vbar,  # [G, 1]
     musd,  # [2, B]
-    wahi,  # [D, G, G+3] bf16 hi actual tables
-    walo,  # [D, G, G+3] bf16 lo actual tables
+    wdt,  # [D, G, G]
     scal,  # [2, 1+F]
     spec: BasisSpec,
     num_grid: int,
@@ -238,7 +218,7 @@ def _backward_update_local(
         v_next_t = jnp.pad(v_next_t, ((0, 0), (0, S_pad - S_in)))
     num_blocks = S_pad // block_sims
     B = spec.num_basis
-    D = wahi.shape[0]
+    D = wdt.shape[0]
     num_factors = factors_t.shape[0]
 
     kernel = functools.partial(
@@ -263,9 +243,7 @@ def _backward_update_local(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((num_grid, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, num_grid, num_grid + 3), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, num_grid, num_grid + 3), lambda i: (0, 0, 0),
+            pl.BlockSpec((D, num_grid, num_grid), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 1 + num_factors), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -289,7 +267,7 @@ def _backward_update_local(
         # XLA copies the 100s-of-MB carry once per scan step.
         input_output_aliases={2: 0},
         interpret=interpret,
-    )(factors_t, fprev_t, v_next_t, cwa_t, vbar, musd, wahi, walo, scal)
+    )(factors_t, fprev_t, v_next_t, cwa_t, vbar, musd, wdt, scal)
 
     if S_pad != S_in:
         v_this = v_this[:, :S_in]
@@ -314,8 +292,7 @@ def pallas_backward_update(
     cwa_t,  # [D, G, B+2] augmented decision tables (M_d @ coeffs' | affine)
     vbar,  # [G, 1]
     musd,  # [2, B]
-    wahi,  # [D, G, G+3] bf16 hi actual tables [M | a_hi | b_hi | b_lo]
-    walo,  # [D, G, G+3] bf16 lo actual tables [M | a_lo | b_hi | 0]
+    wdt,  # [D, G, G]
     scal,  # [2, 1+F]
     spec: BasisSpec,
     num_grid: int,
@@ -345,7 +322,7 @@ def pallas_backward_update(
     )
     if mesh is None:
         v_this, graw, praw = local(
-            factors_t, fprev_t, v_next_t, cwa_t, vbar, musd, wahi, walo, scal
+            factors_t, fprev_t, v_next_t, cwa_t, vbar, musd, wdt, scal
         )
         # New sim-mean from praw's ones row (centred row sums): vbar + d.
         return v_this, vbar[:, 0] + praw[-1, :] / true_sims, graw, praw
@@ -355,8 +332,8 @@ def pallas_backward_update(
     axis_name = axis_name or mesh.axis_names[0]
     ndev = mesh.devices.size
 
-    def body(f, fp, v, cw, vb, ms, whi, wlo, sc):
-        v_out, graw, praw = local(f, fp, v, cw, vb, ms, whi, wlo, sc)
+    def body(f, fp, v, cw, vb, ms, w, sc):
+        v_out, graw, praw = local(f, fp, v, cw, vb, ms, w, sc)
         return (
             v_out,
             jax.lax.psum(graw, axis_name),
@@ -368,13 +345,13 @@ def pallas_backward_update(
         mesh=mesh,
         in_specs=(
             P(None, axis_name), P(None, axis_name), P(None, axis_name),
-            P(), P(), P(), P(), P(), P(),
+            P(), P(), P(), P(), P(),
         ),
         out_specs=(P(None, axis_name), P(), P()),
         check_vma=False,
     )
     v_this, graw, praw = sharded(
-        factors_t, fprev_t, v_next_t, cwa_t, vbar, musd, wahi, walo, scal
+        factors_t, fprev_t, v_next_t, cwa_t, vbar, musd, wdt, scal
     )
     return v_this, vbar[:, 0] + praw[-1, :] / (true_sims * ndev), graw, praw
 
