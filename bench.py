@@ -13,6 +13,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -112,6 +113,7 @@ def run(num_sims: int) -> dict:
     # whole-horizon-program regression cannot hide as a slower number.
     sink = None
     fallback = False
+    streamed = bool(os.environ.get("STORAGE_TPU_MAX_PATH_BYTES"))
     try:
         results = once(seed=12)
     except Exception as exc:  # noqa: BLE001 - chunked-driver fallback
@@ -136,7 +138,7 @@ def run(num_sims: int) -> dict:
     wall = time.perf_counter() - t0
     return {
         "wall": wall, "npv": results.npv, "intrinsic": results.intrinsic_npv,
-        "fallback": fallback,
+        "fallback": fallback, "streamed": streamed,
     }
 
 
@@ -189,14 +191,23 @@ def main() -> None:
         # holds it (observed: RESOURCE_EXHAUSTED at every path count within
         # seconds).  Retry with a wait before concluding the size is too big.
         out = None
-        for attempt in range(3):
+        for attempt in range(4):
             # Drop every device buffer a previous failed attempt may still
             # pin (exception tracebacks hold frames; jit caches hold donated
             # aliases) — without this, a failed 1M warm-up makes the 250k
             # step-down fail on a chip that would fit it fresh.
             gc.collect()
             jax.clear_caches()
-            wait_for_hbm(min_free_gb=max(3.0, 10.0 * num_sims / 1_000_000),
+            # Last attempt: force streaming factor paths — the two [m, F, S]
+            # path sets dominate the peak, and a co-tenant can hold most of
+            # HBM for hours (observed); a streamed full-path-count number
+            # (flagged "streamed" in the JSON) beats a path-count step-down.
+            if attempt == 3:
+                os.environ["STORAGE_TPU_MAX_PATH_BYTES"] = "1.5e9"
+                print(f"# {num_sims}: retrying with streamed factor paths",
+                      file=sys.stderr)
+            wait_for_hbm(min_free_gb=(max(3.0, 10.0 * num_sims / 1_000_000)
+                                      if attempt < 3 else 3.0),
                          max_wait_s=300.0 if attempt else 600.0)
             try:
                 out = run(num_sims)
@@ -216,6 +227,9 @@ def main() -> None:
                 ):
                     break
                 time.sleep(60)
+            finally:
+                if attempt == 3:
+                    os.environ.pop("STORAGE_TPU_MAX_PATH_BYTES", None)
         if out is not None:
             break
     else:
@@ -244,6 +258,7 @@ def main() -> None:
                 "unit": "s",
                 "vs_baseline": round(north_star_budget_s / out["wall"], 3),
                 "fallback": out["fallback"],
+                "streamed": out["streamed"],
             }
         )
     )
