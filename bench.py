@@ -184,7 +184,16 @@ def main() -> None:
 
     import jax
 
-    num_chips = jax.device_count()
+    try:
+        num_chips = jax.device_count()
+    except Exception as exc:  # noqa: BLE001 - backend outage
+        # A dead tunnel (observed: "Unable to initialize backend 'axon':
+        # UNAVAILABLE") must still yield the one JSON line the driver parses.
+        print(f"# backend init failed: {type(exc).__name__}: {exc}",
+              file=sys.stderr)
+        print(json.dumps({"metric": "lsmc bench failed (backend init)",
+                          "value": 0, "unit": "s", "vs_baseline": 0.0}))
+        return
 
     for num_sims in (1_000_000, 500_000, 250_000):
         # A shared chip can be transiently out of HBM while another tenant
