@@ -179,16 +179,66 @@ def wait_for_hbm(min_free_gb: float = 10.0, max_wait_s: float = 900.0) -> None:
             time.sleep(30)
 
 
+def wait_for_backend(budget_s: float | None = None, probe_timeout_s: float = 240.0,
+                     retry_sleep_s: float = 120.0) -> bool:
+    """Bounded wait-and-retry for backend INIT-level outages.
+
+    The round-3 outage mode: the axon tunnel goes hard-down and
+    ``jax.devices()`` either raises UNAVAILABLE or — worse — HANGS in-process
+    for >500 s, so the probe must run in a SUBPROCESS with a kill timeout.
+    Retries every ``retry_sleep_s`` until ``budget_s`` (default 1 hour; env
+    ``STORAGE_TPU_BENCH_INIT_WAIT_S`` overrides, 0 disables waiting) with
+    progress lines on stderr.  Returns True when a subprocess initialised the
+    backend (in-process init is then near-certain to succeed), False when the
+    budget ran out — the caller then emits the failure JSON line.
+    """
+    import subprocess
+
+    budget_s = float(
+        os.environ.get("STORAGE_TPU_BENCH_INIT_WAIT_S", budget_s or 3600.0)
+    )
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        t0 = time.monotonic()
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(len(jax.devices()), jax.default_backend())"],
+                capture_output=True, text=True, timeout=probe_timeout_s,
+            )
+            if proc.returncode == 0:
+                print(f"# backend probe {attempt} OK: {proc.stdout.strip()} "
+                      f"({time.monotonic() - t0:.0f}s)", file=sys.stderr)
+                return True
+            reason = (proc.stderr.strip().splitlines() or ["<no stderr>"])[-1]
+        except subprocess.TimeoutExpired:
+            reason = f"probe hung > {probe_timeout_s:.0f}s (killed)"
+        remaining = deadline - time.monotonic()
+        print(f"# backend probe {attempt} failed: {reason}; "
+              f"{max(remaining, 0):.0f}s of init-wait budget left",
+              file=sys.stderr)
+        if remaining <= retry_sleep_s:
+            return False
+        time.sleep(retry_sleep_s)
+
+
 def main() -> None:
     import gc
+
+    if not wait_for_backend():
+        # A dead tunnel (observed: "Unable to initialize backend 'axon':
+        # UNAVAILABLE") must still yield the one JSON line the driver parses.
+        print(json.dumps({"metric": "lsmc bench failed (backend init)",
+                          "value": 0, "unit": "s", "vs_baseline": 0.0}))
+        return
 
     import jax
 
     try:
         num_chips = jax.device_count()
     except Exception as exc:  # noqa: BLE001 - backend outage
-        # A dead tunnel (observed: "Unable to initialize backend 'axon':
-        # UNAVAILABLE") must still yield the one JSON line the driver parses.
         print(f"# backend init failed: {type(exc).__name__}: {exc}",
               file=sys.stderr)
         print(json.dumps({"metric": "lsmc bench failed (backend init)",

@@ -139,6 +139,7 @@ def build_valuation_context(
         loss,
         float(inventory),
         storage.must_be_empty_at_end,
+        numerical_tolerance=storage.numerical_tolerance,
     )
 
     grids = uniform_grids(inv_space.min_inventory, inv_space.max_inventory, num_grid_points)

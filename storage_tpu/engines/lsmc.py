@@ -852,6 +852,44 @@ def _check_backward_health(coeffs, vbars) -> None:
             raise StorageError(msg)
 
 
+def _check_forward_health(pv, backward_npv) -> None:
+    """Forward-side twin of :func:`_check_backward_health`: if an XLA forward
+    scan ever crosses the overflow threshold (see ``_MAX_SCAN_ELEMENTS``), the
+    per-sim PV vector comes back all-zero or non-finite.  A legitimately
+    zero-value facility is distinguished by the backward estimate: when the
+    backward pass itself valued the store at ~0 a zero forward PV is expected
+    and allowed.  One stacked fetch, same cost posture as the backward probe.
+    """
+    finite_p, nonzero_p, back_zero = np.asarray(
+        jnp.stack([
+            jnp.all(jnp.isfinite(pv)).astype(jnp.float32),
+            jnp.any(pv != 0.0).astype(jnp.float32),
+            (jnp.abs(backward_npv) < 1e-9).astype(jnp.float32),
+        ])
+    )
+    if not finite_p:
+        raise StorageError(
+            "Forward simulation produced non-finite per-simulation PVs; this "
+            "indicates a numerical failure in the forward scan (see the "
+            "_MAX_SCAN_ELEMENTS note in engines/lsmc.py)."
+        )
+    if pv.size and not nonzero_p and not back_zero:
+        import logging
+        import os
+
+        msg = (
+            "Forward simulation PV is identically zero while the backward "
+            "estimate is not — this is the known scan-overflow backend "
+            "failure signature (engines/lsmc.py _MAX_SCAN_ELEMENTS); a "
+            "silently-wrong NPV must not be returned. Set "
+            "STORAGE_TPU_ALLOW_ZERO_SURFACE=1 to downgrade to a warning."
+        )
+        if os.environ.get("STORAGE_TPU_ALLOW_ZERO_SURFACE"):
+            logging.getLogger("storage_tpu.lsmc").warning(msg)
+        else:
+            raise StorageError(msg)
+
+
 def _overflow_safe_spans(
     num_steps: int, num_sims: int, num_grid: int, pallas: bool = False
 ) -> List[Tuple[int, int]]:
@@ -1394,11 +1432,18 @@ def _run_lsmc_chunked(
     fpal = _pallas_forward_eligible(
         ctx, extra_decisions, mesh, collect_panels, num_sims, dtype
     )
-    max_steps_fwd = (
-        min(max_steps, _FORWARD_PALLAS_MAX_SPAN) if fpal is not None else max_steps
-    )
+    # The forward path sizes its own spans from its OWN eligibility: with a
+    # Pallas backward but an XLA forward (collect_panels, extra decisions,
+    # cubic interp), reusing the backward's ~1e12 Pallas budget would let a
+    # forward XLA scan exceed _MAX_SCAN_ELEMENTS and re-expose the silent
+    # all-zero scan mis-lowering.
+    budget_fwd = _MAX_SCAN_ELEMENTS_PALLAS if fpal is not None else _MAX_SCAN_ELEMENTS
+    min_chunks_fwd = -(-m * per_step // budget_fwd)
+    max_steps_fwd = max(1, budget_fwd // per_step)
+    if fpal is not None:
+        max_steps_fwd = min(max_steps_fwd, _FORWARD_PALLAS_MAX_SPAN)
     fwd_spans = _refine_spans(
-        m, max_steps_fwd, max(num_progress_chunks, min_chunks), val_spans
+        m, max_steps_fwd, max(num_progress_chunks, min_chunks_fwd), val_spans
     )
     total_fwd = max(1, len(fwd_spans))
     if fpal is not None:
@@ -1453,6 +1498,7 @@ def _run_lsmc_chunked(
                 lambda u, v_: jnp.concatenate([u, v_], axis=0), outputs0, stacked
             )
         carry = (inv_carry, pv_total + pv0_s)
+        _check_forward_health(carry[1], backward_npv)
         end_spots = spot_from_factors(val_last(), sim_vols[-1], sim_drift[-1])
         arrays = _assemble_arrays(
             stacked, carry, end_spots, terminal_fn, backward_npv, dtype,
@@ -1518,6 +1564,7 @@ def _run_lsmc_chunked(
         report(BACKWARD_PCNT_TIME + (1.0 - BACKWARD_PCNT_TIME) * (i + 1) / total_fwd)
 
     stacked = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *out_parts)
+    _check_forward_health(carry[1], backward_npv)
     end_spots = spot_from_factors(val_last(), sim_vols[-1], sim_drift[-1])
     arrays = _assemble_arrays(
         stacked, carry, end_spots, terminal_fn, backward_npv, dtype, collect_panels
@@ -1664,8 +1711,13 @@ def reprice(
 
 
 def _pick_pallas_block(num_sims: int, max_block: int = 1024) -> Optional[int]:
-    """Lane-aligned block size (the kernel pads the sims axis as needed)."""
-    return min(max_block, max(128, -(-num_sims // 128) * 128 if num_sims < 512 else 1024))
+    """Lane-aligned block size (the kernel pads the sims axis as needed).
+
+    Capped at the lane-rounded sim count for ALL sizes: jumping straight to a
+    1024-lane block at >=512 sims carried 12-50% dead lanes through every
+    kernel step in the 512-896 regime (where the parity/mesh suites live).
+    """
+    return min(max_block, max(128, -(-num_sims // 128) * 128))
 
 
 @partial(

@@ -46,6 +46,10 @@ class TreeValuationResults(NamedTuple):
     grids: np.ndarray  # [n+1, G]
     inv_space_min: np.ndarray  # [n+1]
     inv_space_max: np.ndarray  # [n+1]
+    #: Optimal inject/withdraw volume per (period, level, grid point) — the
+    #: reference's ``InjectWithdrawDecisions`` cube
+    #: (``TreeStorageValuationResults.cs:41``).  [n, K, G]
+    decisions: np.ndarray = None
 
 
 @partial(jax.jit, static_argnames=(
@@ -113,16 +117,24 @@ def _tree_backward(
             econ.price_coeff[None, :, :] * prices_k[:, None, None]
             - econ.cost_npv[None, :, :]
         )  # [K, G, D]
-        v_k = jnp.max(immediate + cont, axis=-1)  # [K, G]
-        return v_k, v_k
+        total = immediate + cont  # [K, G, D]
+        best = jnp.argmax(total, axis=-1)  # [K, G]
+        v_k = jnp.take_along_axis(total, best[..., None], axis=-1)[..., 0]
+        # Optimal decision VOLUME at each (level, grid point): the reference's
+        # InjectWithdrawDecisions cube entry for this period.
+        dec_k = jnp.take_along_axis(
+            jnp.broadcast_to(econ.decisions[None], total.shape),
+            best[..., None], axis=-1,
+        )[..., 0]
+        return v_k, (v_k, dec_k)
 
     xs = (
         node_prices, branch_center, branch_probs, grids, next_lo, next_hi,
         pillars, loss, inject_cost, withdraw_cost, cons_inject, cons_withdraw,
         inv_cost_rate, df_settle, df_start,
     )
-    _, values = jax.lax.scan(step, terminal_values, xs, reverse=True)
-    return jnp.concatenate([values, terminal_values[None]], axis=0)
+    _, (values, decisions) = jax.lax.scan(step, terminal_values, xs, reverse=True)
+    return jnp.concatenate([values, terminal_values[None]], axis=0), decisions
 
 
 def tree_value(
@@ -155,7 +167,7 @@ def tree_value(
     # rows (transitions between simulated periods); the tree's last decision
     # step n-1 transitions INTO the end period so uses branch row n-1... the
     # builder produces exactly n rows of transitions for n+1 periods.
-    values = _tree_backward(
+    values, decisions = _tree_backward(
         jnp.asarray(terminal, dtype),
         jnp.asarray(tree.values[:n], dtype),
         jnp.asarray(tree.branch_center[:n]),
@@ -190,6 +202,7 @@ def tree_value(
         grids=ctx.grids,
         inv_space_min=ctx.inv_space.min_inventory,
         inv_space_max=ctx.inv_space.max_inventory,
+        decisions=np.asarray(decisions, dtype=np.float64),
     )
 
 

@@ -162,6 +162,41 @@ def _default(value, fallback):
     return fallback if missing else value
 
 
+def _build_storage(
+    storage_start,
+    storage_end,
+    ratchets,
+    ratchet_interpolation: str,
+    injection_cost_rate: float,
+    cmdty_consumed_on_injection: float = 0.0,
+    withdrawal_cost_rate: float = 0.0,
+    cmdty_consumed_on_withdrawal: float = 0.0,
+    numerical_tolerance=None,
+) -> CmdtyStorage:
+    """Shared range-parsing construction for ``create_storage`` and the
+    synchronous UDFs.  Raises on invalid input (callers marshal to ``#``);
+    returns an UNCACHED storage so concurrent worksheet recalcs can never
+    cross-wire each other's temporaries (the reference add-in's
+    dictionary-threading TODO, ``MultiFactorXl.cs:89``)."""
+    if ratchet_interpolation not in _INTERP:
+        raise ValueError(
+            f"Value of Inject_withdraw_interpolation '{ratchet_interpolation}' not "
+            "recognised. Must be either 'PiecewiseLinear', 'Polynomial' or 'Step'."
+        )
+    return CmdtyStorage(
+        freq="D",
+        storage_start=str(_day(storage_start)),
+        storage_end=str(_day(storage_end)),
+        injection_cost=float(injection_cost_rate),
+        withdrawal_cost=float(withdrawal_cost_rate),
+        cmdty_consumed_inject=float(cmdty_consumed_on_injection),
+        cmdty_consumed_withdraw=float(cmdty_consumed_on_withdrawal),
+        ratchets=_ratchets_from_range(ratchets),
+        ratchet_interp=_INTERP[ratchet_interpolation],
+        numerical_tolerance=float(_default(numerical_tolerance, 1e-10)),
+    )
+
+
 @_excel_fn
 def create_storage(
     name: str,
@@ -175,22 +210,15 @@ def create_storage(
     cmdty_consumed_on_withdrawal: float = 0.0,
     numerical_tolerance=None,
 ) -> str:
-    """``cmdty.CreateStorage``: build and cache a storage under ``name``."""
-    if ratchet_interpolation not in _INTERP:
-        raise ValueError(
-            f"Value of Inject_withdraw_interpolation '{ratchet_interpolation}' not "
-            "recognised. Must be either 'PiecewiseLinear', 'Polynomial' or 'Step'."
-        )
-    storage = CmdtyStorage(
-        freq="D",
-        storage_start=str(_day(storage_start)),
-        storage_end=str(_day(storage_end)),
-        injection_cost=float(injection_cost_rate),
-        withdrawal_cost=float(withdrawal_cost_rate),
-        cmdty_consumed_inject=float(cmdty_consumed_on_injection),
-        cmdty_consumed_withdraw=float(cmdty_consumed_on_withdrawal),
-        ratchets=_ratchets_from_range(ratchets),
-        ratchet_interp=_INTERP[ratchet_interpolation],
+    """``cmdty.CreateStorage``: build and cache a storage under ``name``.
+    ``numerical_tolerance`` reaches the storage's polynomial-constraint root
+    acceptance, like the reference's ``PolynomialWithParams(tolerance)``
+    (``StorageExcelHelper.cs:164``)."""
+    storage = _build_storage(
+        storage_start, storage_end, ratchets, ratchet_interpolation,
+        injection_cost_rate, cmdty_consumed_on_injection,
+        withdrawal_cost_rate, cmdty_consumed_on_withdrawal,
+        numerical_tolerance,
     )
     return storage_cache.add(name, storage)
 
@@ -294,20 +322,19 @@ def storage_intrinsic_value(
     """``cmdty.StorageIntrinsicValue``: synchronous intrinsic NPV."""
     from .engines.intrinsic import intrinsic_value
 
-    handle = create_storage(
-        "__intrinsic_tmp__", storage_start, storage_end, ratchets,
+    storage = _build_storage(
+        storage_start, storage_end, ratchets,
         inject_withdraw_interpolation, injection_cost_rate,
         cmdty_consumed_on_injection, withdrawal_cost_rate,
-        cmdty_consumed_on_withdrawal,
+        cmdty_consumed_on_withdrawal, numerical_tolerance,
     )
-    if isinstance(handle, str) and handle.startswith("#"):
-        return handle
     results = intrinsic_value(
-        storage_cache.get(handle), str(_day(valuation_date)),
+        storage, str(_day(valuation_date)),
         float(current_inventory),
         _series_from_range(forward_curve, "Forward_curve"),
         _rate_curve_from_range(interest_rate_curve), None,
         num_inventory_grid_points=int(_default(num_grid_points, 100)),
+        numerical_tolerance=float(_default(numerical_tolerance, 1e-10)),
     )
     return float(results.npv)
 
@@ -334,20 +361,19 @@ def storage_intrinsic_decision_profile(
     withdraw volume, cmdty consumed) — ``IntrinsicXl.cs:62-95``."""
     from .engines.intrinsic import intrinsic_value
 
-    handle = create_storage(
-        "__intrinsic_tmp__", storage_start, storage_end, ratchets,
+    storage = _build_storage(
+        storage_start, storage_end, ratchets,
         inject_withdraw_interpolation, injection_cost_rate,
         cmdty_consumed_on_injection, withdrawal_cost_rate,
-        cmdty_consumed_on_withdrawal,
+        cmdty_consumed_on_withdrawal, numerical_tolerance,
     )
-    if isinstance(handle, str) and handle.startswith("#"):
-        return handle
     results = intrinsic_value(
-        storage_cache.get(handle), str(_day(valuation_date)),
+        storage, str(_day(valuation_date)),
         float(current_inventory),
         _series_from_range(forward_curve, "Forward_curve"),
         _rate_curve_from_range(interest_rate_curve), None,
         num_inventory_grid_points=int(_default(num_grid_points, 100)),
+        numerical_tolerance=float(_default(numerical_tolerance, 1e-10)),
     )
     profile = results.profile
     return [
@@ -382,17 +408,15 @@ def storage_value_trinomial_tree(
     """``cmdty.StorageValueTrinomialTree``: synchronous one-factor tree NPV."""
     from .engines.tree import trinomial_value
 
-    handle = create_storage(
-        "__tree_tmp__", storage_start, storage_end, ratchets,
+    storage = _build_storage(
+        storage_start, storage_end, ratchets,
         inject_withdraw_interpolation, injection_cost_rate,
         cmdty_consumed_on_injection, withdrawal_cost_rate,
-        cmdty_consumed_on_withdrawal,
+        cmdty_consumed_on_withdrawal, numerical_tolerance,
     )
-    if isinstance(handle, str) and handle.startswith("#"):
-        return handle
     return float(
         trinomial_value(
-            storage_cache.get(handle), str(_day(valuation_date)),
+            storage, str(_day(valuation_date)),
             float(current_inventory),
             _series_from_range(forward_curve, "Forward_curve"),
             spot_volatility=_series_from_range(
@@ -403,6 +427,7 @@ def storage_value_trinomial_tree(
             interest_rates=_rate_curve_from_range(interest_rate_curve),
             settlement_rule=None,
             num_inventory_grid_points=int(_default(num_grid_points, 100)),
+            numerical_tolerance=float(_default(numerical_tolerance, 1e-10)),
         )
     )
 
@@ -429,21 +454,20 @@ def storage_value_intrinsic(
     ``TrinomialXl.cs:64-95`` / ``TreeStorageValuationExtensions.cs:104-124``."""
     from .engines.tree import intrinsic_tree_value
 
-    handle = create_storage(
-        "__tree_tmp__", storage_start, storage_end, ratchets,
+    storage = _build_storage(
+        storage_start, storage_end, ratchets,
         inject_withdraw_interpolation, injection_cost_rate,
         cmdty_consumed_on_injection, withdrawal_cost_rate,
-        cmdty_consumed_on_withdrawal,
+        cmdty_consumed_on_withdrawal, numerical_tolerance,
     )
-    if isinstance(handle, str) and handle.startswith("#"):
-        return handle
     return float(
         intrinsic_tree_value(
-            storage_cache.get(handle), str(_day(valuation_date)),
+            storage, str(_day(valuation_date)),
             float(current_inventory),
             _series_from_range(forward_curve, "Forward_curve"),
             _rate_curve_from_range(interest_rate_curve),
             None,
             num_inventory_grid_points=int(_default(num_grid_points, 100)),
+            numerical_tolerance=float(_default(numerical_tolerance, 1e-10)),
         )
     )

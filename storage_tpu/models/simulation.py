@@ -340,6 +340,7 @@ class StreamingFactorSource:
         self._chol = jnp.asarray(coeffs.chol, dtype)
         self._mesh = mesh
         self._ckpts = None  # computed on first use
+        self._span_cache = None  # (span_index, [span_len, F, S]) one-slot
 
     def spans(self):
         """The aligned spans [(a, b), ...] covering [0, num_steps)."""
@@ -371,12 +372,21 @@ class StreamingFactorSource:
             raise ValueError(
                 f"factors({a}, {b}) crosses a span boundary (every={self.every})."
             )
-        y0 = self._checkpoints()[i]
-        out = _factor_span_kernel(
-            self._key, y0, self._decay, self._chol, s0,
-            num_sims=self.num_sims, antithetic=self.antithetic,
-            span_len=s1 - s0,
-        )
+        # One-slot span cache: under the XLA backward fallback the engine
+        # refines each source span into many sub-spans and reads them
+        # consecutively (and last() reads one step of the final span), so
+        # memoizing the last regenerated span removes all redundant
+        # re-simulation at the cost of one resident span.
+        if self._span_cache is not None and self._span_cache[0] == i:
+            out = self._span_cache[1]
+        else:
+            y0 = self._checkpoints()[i]
+            out = _factor_span_kernel(
+                self._key, y0, self._decay, self._chol, s0,
+                num_sims=self.num_sims, antithetic=self.antithetic,
+                span_len=s1 - s0,
+            )
+            self._span_cache = (i, out)
         if a != s0 or b != s1:
             out = jax.lax.dynamic_slice_in_dim(out, a - s0, b - a, axis=0)
         if self._mesh is not None:

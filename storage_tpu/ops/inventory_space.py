@@ -38,18 +38,21 @@ def _is_constant_table(pillars: np.ndarray) -> bool:
 
 
 def _poly_bound_roots(coefs: np.ndarray, loss: float, target: float,
-                      cur_min: float, cur_max: float) -> np.ndarray:
+                      cur_min: float, cur_max: float,
+                      accuracy: float = 1e-9) -> np.ndarray:
     """Real roots of ``x (1 - loss) + poly(x) - target`` within the inventory
     range.  The reference solves the same equation with bracketed
     Newton-Raphson (``PolynomialInjectWithdrawConstraint.cs:87-153``); a direct
-    companion-matrix root solve is both exact and simpler here.
+    companion-matrix root solve is both exact and simpler here.  ``accuracy``
+    (the storage's ``numerical_tolerance``, the analogue of the reference's
+    Newton-Raphson accuracy) scales root acceptance at the range edges.
     """
     poly = np.array(coefs, dtype=np.float64)
     poly[-1] -= target
     poly[-2] += 1.0 - loss
     roots = np.roots(poly)
-    tol = 1e-9 * max(1.0, abs(cur_max))
-    real = roots[np.abs(roots.imag) < 1e-8].real
+    tol = accuracy * max(1.0, abs(cur_max))
+    real = roots[np.abs(roots.imag) < max(1e-8, accuracy)].real
     return real[(real >= cur_min - tol) & (real <= cur_max + tol)]
 
 
@@ -61,6 +64,7 @@ def upper_bound(
     cur_min: float,
     cur_max: float,
     loss: float,
+    numerical_tolerance: float = 1e-9,
 ) -> float:
     """Max inventory this period from which next period's space is reachable."""
     if interp_kind == INTERP_POLY:
@@ -68,7 +72,8 @@ def upper_bound(
         if (cur_max * (1.0 - loss) + min_at_max <= next_hi
                 and next_lo <= cur_max * (1.0 - loss) + max_at_max):
             return cur_max
-        candidates = _poly_bound_roots(pillars[:, 3], loss, next_hi, cur_min, cur_max)
+        candidates = _poly_bound_roots(pillars[:, 3], loss, next_hi, cur_min, cur_max,
+                                       numerical_tolerance)
         if len(candidates) == 0:
             raise InventoryConstraintsCannotBeFulfilledError(
                 "Storage inventory constraints cannot be satisfied."
@@ -135,6 +140,7 @@ def lower_bound(
     cur_min: float,
     cur_max: float,
     loss: float,
+    numerical_tolerance: float = 1e-9,
 ) -> float:
     """Min inventory this period from which next period's space is reachable."""
     if interp_kind == INTERP_POLY:
@@ -142,7 +148,8 @@ def lower_bound(
         if (cur_min * (1.0 - loss) + min_at_min <= next_hi
                 and next_lo <= cur_min * (1.0 - loss) + max_at_min):
             return cur_min
-        candidates = _poly_bound_roots(pillars[:, 4], loss, next_lo, cur_min, cur_max)
+        candidates = _poly_bound_roots(pillars[:, 4], loss, next_lo, cur_min, cur_max,
+                                       numerical_tolerance)
         if len(candidates) == 0:
             raise InventoryConstraintsCannotBeFulfilledError(
                 "Storage inventory constraints cannot be satisfied."
@@ -218,6 +225,7 @@ def calculate_inventory_space(
     starting_inventory: float,
     must_be_empty_at_end: bool,
     use_native: bool = True,
+    numerical_tolerance: float = 1e-9,
 ) -> InventorySpace:
     """Forward/backward reachability intersection (``StorageHelper.cs:39-107``).
 
@@ -269,11 +277,11 @@ def calculate_inventory_space(
     for k in range(n - 1, 0, -1):
         back_max[k] = upper_bound(
             pillar_tables[k], interp_kind, back_min[k + 1], back_max[k + 1],
-            min_inv[k], max_inv[k], float(loss[k]),
+            min_inv[k], max_inv[k], float(loss[k]), numerical_tolerance,
         )
         back_min[k] = lower_bound(
             pillar_tables[k], interp_kind, back_min[k + 1], back_max[k + 1],
-            min_inv[k], max_inv[k], float(loss[k]),
+            min_inv[k], max_inv[k], float(loss[k]), numerical_tolerance,
         )
     back_min[0] = back_max[0] = starting_inventory
 

@@ -118,7 +118,15 @@ class CmdtyStorage:
         inventory_loss: ScalarOrSeries = None,
         inventory_cost: ScalarOrSeries = None,
         cost_cash_flow_rule: Optional[Callable[[pd.Period], "object"]] = None,
+        numerical_tolerance: float = 1e-9,
     ):
+        # Root-acceptance tolerance for polynomial-ratchet inventory-space
+        # bound solves; the analogue of the reference's per-constraint
+        # Newton-Raphson accuracy (PolynomialInjectWithdrawConstraint.cs:46,
+        # set from Excel via PolynomialWithParams, StorageExcelHelper.cs:164).
+        if numerical_tolerance <= 0:
+            raise ValueError("numerical_tolerance must be a positive number.")
+        self._numerical_tolerance = float(numerical_tolerance)
         self._freq = freq
         norm_freq = normalize_freq(freq)
         start = to_period(storage_start, norm_freq)
@@ -336,6 +344,10 @@ class CmdtyStorage:
     @property
     def freq(self) -> str:
         return self._freq
+
+    @property
+    def numerical_tolerance(self) -> float:
+        return self._numerical_tolerance
 
     @property
     def empty_at_end(self) -> bool:

@@ -21,3 +21,17 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+# Persistent compilation cache (VERDICT r3 item 3): the fast suite is
+# compile-bound (~10 min cold), and most programs recur run-to-run.  Caching
+# compiled executables on disk cuts repeat runs to the execution time.
+# Override the location with STORAGE_TPU_TEST_CACHE_DIR; set it empty to
+# disable (e.g. when bisecting a suspected stale-cache miscompile).
+_cache_dir = os.environ.get(
+    "STORAGE_TPU_TEST_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_test_cache"),
+)
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

