@@ -347,6 +347,13 @@ def backward_scan_pallas(
     """
     from ..ops.pallas_backward import assemble_regression, pallas_backward_update
 
+    # Experimental serial-path optimisation (VERDICT r4 item 2): ride the
+    # per-decision affine economics through the existing bf16 actual-surface
+    # MXU passes, sourced from the exact-f32 cwa columns (the variant the
+    # round-3 bisection measured clean).  Gated until the chip measurement
+    # confirms accuracy + speedup; see ops/pallas_backward.py.
+    fold_affine = os.environ.get("STORAGE_TPU_FOLD_AFFINE", "") == "1"
+
     G = num_grid_points
     S = v_init.shape[0]
     m = factors.shape[0]
@@ -447,7 +454,7 @@ def backward_scan_pallas(
         return pallas_backward_update(
             f, f_prev, v_next_t, cwa_t, vbar_in, musd, wdt, scal,
             spec=spec, num_grid=G, block_sims=block_sims, true_sims=true_local,
-            interpret=interpret, mesh=mesh,
+            interpret=interpret, mesh=mesh, fold_affine=fold_affine,
         ), musd
 
     def slice_xs(all_xs, k):

@@ -81,6 +81,7 @@ def _backward_kernel(
     num_factors: int,
     num_decisions: int,
     true_sims: int,
+    fold_affine: bool = False,
 ):
     bS = v_ref.shape[-1]
     B = spec.num_basis
@@ -120,6 +121,33 @@ def _backward_kernel(
     v_hi = v_c.astype(jnp.bfloat16)
     v_lo = (v_c - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
+    if fold_affine:
+        # VERDICT r4 item 2 — the CLEAN affine-fold variant: ride the
+        # per-decision immediate economics through the two EXISTING bf16
+        # actual-surface passes, SOURCING the affine from the exact-f32 cwa
+        # columns and splitting them to bf16 hi/lo IN-KERNEL (the round-3
+        # rejection, ebb6549, shipped pre-split bf16 tables; the bisection
+        # found only the table-sourced values biased while the exact-f32
+        # cwa-sourced affine measured clean — ROUND3_NOTES "Rejected:
+        # affine-fold").  RHS gains three bf16-exact rows (ones, spot hi/lo)
+        # shared by both passes; each decision's matrix gains three columns
+        # (colB hi|lo, colB1 hi|lo paired against both spot rows), so
+        #   pass_hi + pass_lo = q_d + colB + colB1 * spot
+        # colB (the M_d@vbar - cost offset) is value-surface-scale (~1e5), so
+        # a 2-term (16-bit) split measurably degrades vbar over long horizons
+        # (1.9e-4 at 91 periods, CPU-measured); TWO ones rows give it a
+        # 3-term (~24-bit, f32-fidelity) split: pass_hi carries cb_hi + cb_md
+        # against the two ones rows, pass_lo carries cb_lo against the first
+        # and zero against the second.  colB1 (price_coeff, small scale) gets
+        # the 2-term split against the exact spot hi/lo rows.  Removes 3 VPU
+        # broadcast ops x [G, bS] per decision from the serial path for ~4%
+        # more MXU work.
+        ones_b = jnp.ones((1, bS), jnp.bfloat16)
+        s_hi16 = spot.astype(jnp.bfloat16)
+        s_lo16 = (spot - s_hi16.astype(jnp.float32)).astype(jnp.bfloat16)
+        rhs_hi = jnp.concatenate([v_hi, ones_b, ones_b, s_hi16, s_lo16], axis=0)
+        rhs_lo = jnp.concatenate([v_lo, ones_b, ones_b, s_hi16, s_lo16], axis=0)
+
     best_fitted = None
     best_actual = None
     for d in range(num_decisions):
@@ -132,12 +160,26 @@ def _backward_kernel(
         # plus the same affine pieces — column B is (M_d@vbar - cost_npv),
         # which is exactly the act-side offset too since q_d is centred.
         m16 = wdt_ref[d].astype(jnp.bfloat16)  # exact: weights are k/128
-        q_d = _mm(m16, v_hi) + _mm(m16, v_lo)
-        actual = (
-            q_d
-            + cwa_ref[d, :, B][:, None]
-            + cwa_ref[d, :, B + 1][:, None] * spot
-        )
+        if fold_affine:
+            colB = cwa_ref[d, :, B][:, None]  # [G, 1] f32, exact source
+            colB1 = cwa_ref[d, :, B + 1][:, None]
+            cb_hi = colB.astype(jnp.bfloat16)
+            r1 = colB - cb_hi.astype(jnp.float32)
+            cb_md = r1.astype(jnp.bfloat16)
+            cb_lo = (r1 - cb_md.astype(jnp.float32)).astype(jnp.bfloat16)
+            c1_hi = colB1.astype(jnp.bfloat16)
+            c1_lo = (colB1 - c1_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            zero_c = jnp.zeros_like(cb_hi)
+            m_hi = jnp.concatenate([m16, cb_hi, cb_md, c1_hi, c1_hi], axis=1)
+            m_lo = jnp.concatenate([m16, cb_lo, zero_c, c1_lo, c1_lo], axis=1)
+            actual = _mm(m_hi, rhs_hi) + _mm(m_lo, rhs_lo)
+        else:
+            q_d = _mm(m16, v_hi) + _mm(m16, v_lo)
+            actual = (
+                q_d
+                + cwa_ref[d, :, B][:, None]
+                + cwa_ref[d, :, B + 1][:, None] * spot
+            )
         if best_fitted is None:  # decision 0 seeds unconditionally (NaN guard)
             best_fitted = total
             best_actual = actual
@@ -196,6 +238,7 @@ def _backward_update_local(
     block_sims: int,
     true_sims: int,
     interpret: bool,
+    fold_affine: bool = False,
 ):
     """Device-local kernel invocation on the TRANSPOSED surface.
 
@@ -228,6 +271,7 @@ def _backward_update_local(
         num_factors=num_factors,
         num_decisions=D,
         true_sims=true_sims,
+        fold_affine=fold_affine,
     )
     v_this, graws, praws = pl.pallas_call(
         kernel,
@@ -282,7 +326,7 @@ def _backward_update_local(
     jax.jit,
     static_argnames=(
         "spec", "num_grid", "block_sims", "true_sims", "interpret",
-        "mesh", "axis_name",
+        "mesh", "axis_name", "fold_affine",
     ),
 )
 def pallas_backward_update(
@@ -301,6 +345,7 @@ def pallas_backward_update(
     interpret: bool = False,
     mesh=None,
     axis_name: Optional[str] = None,
+    fold_affine: bool = False,
 ):
     """One fused backward value update on the transposed surface.
 
@@ -318,7 +363,7 @@ def pallas_backward_update(
     local = functools.partial(
         _backward_update_local,
         spec=spec, num_grid=num_grid, block_sims=block_sims,
-        true_sims=true_sims, interpret=interpret,
+        true_sims=true_sims, interpret=interpret, fold_affine=fold_affine,
     )
     if mesh is None:
         v_this, graw, praw = local(
