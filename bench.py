@@ -197,6 +197,8 @@ def wait_for_backend(budget_s: float | None = None, probe_timeout_s: float = 240
     budget_s = float(
         os.environ.get("STORAGE_TPU_BENCH_INIT_WAIT_S", budget_s or 3600.0)
     )
+    if budget_s <= 0:  # 0 disables the gate entirely (e.g. CPU smoke runs)
+        return True
     deadline = time.monotonic() + budget_s
     attempt = 0
     while True:

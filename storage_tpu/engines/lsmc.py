@@ -809,7 +809,7 @@ _MAX_SCAN_ELEMENTS_PALLAS = 1_000_000_000_000
 _FORWARD_PALLAS_MAX_SPAN = 256
 
 
-def _check_backward_health(coeffs, vbars) -> None:
+def _check_backward_health(coeffs, vbars, fwd=None) -> None:
     """Cheap post-run probe for the silent-zeroing backend failure that
     motivated ``_MAX_SCAN_ELEMENTS``: if a backend update moves the overflow
     threshold, the carried value surface comes back all-zero (vbars == 0 for
@@ -820,12 +820,19 @@ def _check_backward_health(coeffs, vbars) -> None:
     material cost at any scale.
 
     A genuinely worthless facility (zero value at every grid point of every
-    period) trips the same signature; set ``STORAGE_TPU_ALLOW_ZERO_SURFACE=1``
-    to downgrade the zero-surface error to a warning for such cases.
+    period) trips the same signature; when ``fwd`` (the forward curve the
+    valuation ran against) is given and is itself identically zero, the zero
+    surface is recognised as legitimate and only warned about.  For non-zero
+    curves, set ``STORAGE_TPU_ALLOW_ZERO_SURFACE=1`` to downgrade the error
+    to a warning (e.g. a facility whose costs exceed every spread).
     """
     import logging
     import os
 
+    if fwd is not None and not np.any(np.asarray(fwd)):
+        fwd_zero = True
+    else:
+        fwd_zero = False
     # One fetch for all probes: each host read of a device scalar costs a
     # full round trip on the remote-chip tunnel (~30 ms).
     finite_c, finite_v, nonzero_v = np.asarray(
@@ -853,7 +860,7 @@ def _check_backward_health(coeffs, vbars) -> None:
             "Set STORAGE_TPU_ALLOW_ZERO_SURFACE=1 if this facility is "
             "genuinely worthless (zero value at every state)."
         )
-        if os.environ.get("STORAGE_TPU_ALLOW_ZERO_SURFACE"):
+        if fwd_zero or os.environ.get("STORAGE_TPU_ALLOW_ZERO_SURFACE"):
             logging.getLogger("storage_tpu.lsmc").warning(msg)
         else:
             raise StorageError(msg)
@@ -1242,7 +1249,7 @@ def run_lsmc(
         quantize_weights=_xla_quantize_weights(), **statics
     )
     jax.block_until_ready(coeffs)
-    _check_backward_health(coeffs, vbars)
+    _check_backward_health(coeffs, vbars, ctx.fwd)
     if stopwatches is not None:
         stopwatches.stop("BackwardInduction")
     num_sims = reg_factors.shape[-1]
@@ -1415,7 +1422,7 @@ def _run_lsmc_chunked(
     mus = jnp.concatenate(mu_parts, axis=0)
     sds = jnp.concatenate(sd_parts, axis=0)
     vbars = jnp.concatenate(vbar_parts, axis=0)
-    _check_backward_health(coeffs, vbars)
+    _check_backward_health(coeffs, vbars, ctx.fwd)
 
     if val_first:
         v0, cont_mean0 = _current_period_step(

@@ -342,6 +342,19 @@ class StreamingFactorSource:
         self._ckpts = None  # computed on first use
         self._span_cache = None  # (span_index, [span_len, F, S]) one-slot
 
+    def prepare(self):
+        """Eagerly run the checkpoint pass (otherwise lazy on first read).
+
+        Lets callers attribute the upfront simulation cost to their own
+        timing phase (the per-span regeneration that follows is interleaved
+        with consumption and folds into the consumer's phases).  Returns
+        ``self`` for chaining.
+        """
+        import jax
+
+        jax.block_until_ready(self._checkpoints())
+        return self
+
     def spans(self):
         """The aligned spans [(a, b), ...] covering [0, num_steps)."""
         return [

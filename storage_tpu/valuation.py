@@ -294,19 +294,26 @@ def _multi_factor_calc(
         every = max(64, int(span_target // max(per_step_bytes, 1)))
         every = min(every, _FORWARD_PALLAS_MAX_SPAN)
 
+        # The simulation stopwatches time the upfront CHECKPOINT pass only:
+        # per-span regeneration is interleaved with consumption, so that part
+        # of the simulation cost folds into BackwardInduction /
+        # ForwardSimulation (unlike the materialised path's stopwatches —
+        # noted here because the profile reports are otherwise comparable).
         def make_reg():
             logger.info("Streaming regression path simulation (span=%d).", every)
-            return StreamingFactorSource(
-                coeffs, num_sims, reg_key, antithetic, dtype, every=every,
-                mesh=mesh,
-            )
+            with stopwatches.time("RegressionPriceSimulation"):
+                return StreamingFactorSource(
+                    coeffs, num_sims, reg_key, antithetic, dtype, every=every,
+                    mesh=mesh,
+                ).prepare()
 
         def make_val():
             logger.info("Streaming valuation path simulation (span=%d).", every)
-            return StreamingFactorSource(
-                coeffs, num_sims, val_key, antithetic, dtype, every=every,
-                mesh=mesh,
-            )
+            with stopwatches.time("ValuationPriceSimulation"):
+                return StreamingFactorSource(
+                    coeffs, num_sims, val_key, antithetic, dtype, every=every,
+                    mesh=mesh,
+                ).prepare()
     else:
         def make_reg():
             logger.info("Starting regression spot price simulation.")

@@ -35,3 +35,7 @@ if _cache_dir:
     jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    # XLA:CPU's AOT loader logs a (harmless, multi-KB) machine-feature
+    # mismatch error for EVERY cache hit on this image — drown it out or the
+    # suite output becomes unreadable.  Only while the cache is enabled.
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")

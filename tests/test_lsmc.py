@@ -581,3 +581,66 @@ class TestBackwardHealthProbe:
 
         coeffs, vbars = self._arrays(np.ones((6, 10)))
         _check_backward_health(coeffs, vbars)
+
+    def test_zero_surface_with_zero_forward_curve_only_warns(self, caplog):
+        """A zero-value surface against an identically-zero forward curve is
+        the legitimately-worthless case, not the backend signature: warn
+        without needing the env escape hatch."""
+        from storage_tpu.engines.lsmc import _check_backward_health
+
+        coeffs, vbars = self._arrays(np.zeros((6, 10)))
+        with caplog.at_level("WARNING", logger="storage_tpu.lsmc"):
+            _check_backward_health(coeffs, vbars, fwd=np.zeros(7))
+        assert any("identically zero" in r.message for r in caplog.records)
+
+    def test_zero_surface_with_nonzero_forward_curve_still_raises(self):
+        from storage_tpu.engines.lsmc import _check_backward_health
+        from storage_tpu.exceptions import StorageError
+
+        coeffs, vbars = self._arrays(np.zeros((6, 10)))
+        with pytest.raises(StorageError, match="identically zero"):
+            _check_backward_health(coeffs, vbars, fwd=np.full(7, 16.0))
+
+
+class TestForwardHealthProbe:
+    """Forward-side twin (ADVICE r3 high): a zero per-sim PV vector with a
+    non-zero backward estimate is the scan-overflow signature."""
+
+    def test_zero_pv_nonzero_backward_raises(self):
+        import jax.numpy as jnp
+
+        from storage_tpu.engines.lsmc import _check_forward_health
+        from storage_tpu.exceptions import StorageError
+
+        with pytest.raises(StorageError, match="identically zero"):
+            _check_forward_health(
+                jnp.zeros((64,), jnp.float32), jnp.asarray(123.4, jnp.float32)
+            )
+
+    def test_zero_pv_zero_backward_passes(self):
+        import jax.numpy as jnp
+
+        from storage_tpu.engines.lsmc import _check_forward_health
+
+        _check_forward_health(
+            jnp.zeros((64,), jnp.float32), jnp.asarray(0.0, jnp.float32)
+        )
+
+    def test_nonfinite_pv_raises(self):
+        import jax.numpy as jnp
+
+        from storage_tpu.engines.lsmc import _check_forward_health
+        from storage_tpu.exceptions import StorageError
+
+        pv = jnp.asarray(np.array([1.0, np.nan, 2.0], np.float32))
+        with pytest.raises(StorageError, match="non-finite"):
+            _check_forward_health(pv, jnp.asarray(1.0, jnp.float32))
+
+    def test_healthy_pv_passes(self):
+        import jax.numpy as jnp
+
+        from storage_tpu.engines.lsmc import _check_forward_health
+
+        _check_forward_health(
+            jnp.ones((64,), jnp.float32), jnp.asarray(123.4, jnp.float32)
+        )
