@@ -35,7 +35,7 @@ from .engines.tree import (
 from .utils.frequencies import FREQ_TO_PERIOD_TYPE, SUPPORTED_FREQS
 from .utils.basis import parse_basis_functions
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 logger: logging.Logger = logging.getLogger("storage_tpu")
 logger.addHandler(logging.NullHandler())
