@@ -299,12 +299,27 @@ class TestDecisionCube:
     """The optimal-decision cube [period, level, grid pt] on tree results —
     the reference's InjectWithdrawDecisions (TreeStorageValuationResults.cs:41)."""
 
-    def _valuation(self):
+    def _valuation(self, ratcheted=False):
         from storage_tpu.compile import build_valuation_context
         from storage_tpu.engines.tree import tree_value
         from storage_tpu.models.trinomial import build_trinomial_tree
 
-        storage, fwd, vols = TestTreeConsistency()._setup()
+        if ratcheted:
+            from storage_tpu import RatchetInterp
+
+            storage = CmdtyStorage(
+                "D", "2021-01-01", "2021-03-01",
+                injection_cost=0.3, withdrawal_cost=0.4,
+                ratchets=[(
+                    "2021-01-01",
+                    [(0.0, -50.0, 70.0), (1000.0, -50.0, 70.0),
+                     (2000.0, -80.0, 40.0)],
+                )],
+                ratchet_interp=RatchetInterp.LINEAR,
+            )
+            _, fwd, vols = TestTreeConsistency()._setup()
+        else:
+            storage, fwd, vols = TestTreeConsistency()._setup()
         ctx = build_valuation_context(storage, "2021-01-01", 800.0, fwd, None, None)
         tree = build_trinomial_tree(
             ctx.fwd, vols.reindex(ctx.periods).to_numpy(), 5.0, 1 / 365.0
@@ -330,15 +345,17 @@ class TestDecisionCube:
                 float(valuation.decisions[0, root, 0]), abs=1e-3
             )
 
-    def test_cube_decisions_are_host_optimal(self):
+    @pytest.mark.parametrize("ratcheted", [False, True])
+    def test_cube_decisions_are_host_optimal(self, ratcheted):
         """Re-derive the optimal decision on the host (the simulator's exact
         logic: bang-bang decision set, three-branch np.interp continuation,
         immediate economics) at sampled (period, level, grid) points; the
-        cube's recorded decision must attain the host-optimal total value."""
+        cube's recorded decision must attain the host-optimal total value —
+        for both constant-rate and inventory-varying (ratcheted) tables."""
         from storage_tpu.ops.decisions import bang_bang_decision_set
         from storage_tpu.ops.ratchets import interp_rates_host
 
-        ctx, valuation = self._valuation()
+        ctx, valuation = self._valuation(ratcheted)
         tree = valuation.tree
         n = ctx.n_steps
         K = tree.num_levels
