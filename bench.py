@@ -320,6 +320,7 @@ def main() -> None:
                 "vs_baseline": round(north_star_budget_s / out["wall"], 3),
                 "fallback": out["fallback"],
                 "streamed": out["streamed"],
+                "fold_affine": bool(os.environ.get("STORAGE_TPU_FOLD_AFFINE")),
             }
         )
     )
