@@ -194,9 +194,9 @@ def wait_for_backend(budget_s: float | None = None, probe_timeout_s: float = 240
     """
     import subprocess
 
-    budget_s = float(
-        os.environ.get("STORAGE_TPU_BENCH_INIT_WAIT_S", budget_s or 3600.0)
-    )
+    if budget_s is None:  # explicit 0 must mean "disabled", not "default"
+        budget_s = 3600.0
+    budget_s = float(os.environ.get("STORAGE_TPU_BENCH_INIT_WAIT_S", budget_s))
     if budget_s <= 0:  # 0 disables the gate entirely (e.g. CPU smoke runs)
         return True
     deadline = time.monotonic() + budget_s
@@ -320,7 +320,9 @@ def main() -> None:
                 "vs_baseline": round(north_star_budget_s / out["wall"], 3),
                 "fallback": out["fallback"],
                 "streamed": out["streamed"],
-                "fold_affine": bool(os.environ.get("STORAGE_TPU_FOLD_AFFINE")),
+                # Same spelling as the engine gate (lsmc.py: == "1") so the
+                # record can't claim the experimental kernel for e.g. "0".
+                "fold_affine": os.environ.get("STORAGE_TPU_FOLD_AFFINE", "") == "1",
             }
         )
     )

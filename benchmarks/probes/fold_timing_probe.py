@@ -9,67 +9,32 @@ kernel dispatches + XLA glue) at the bench config's shape.
     timeout 1800 python benchmarks/probes/fold_timing_probe.py [num_sims]
 
 Prints per-leg wall times and the NPV cross-check.  Accuracy is measured
-separately by fold_affine_probe.py (vs an f64 golden).
+separately by fold_affine_probe.py (vs an f64 golden).  PROBE_CPU=1 pins
+the CPU backend (interpret mode) for smoke runs.
 """
 import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+sys.path.insert(0, os.path.dirname(__file__))
 
 import numpy as np
+
+from _scenario import bench_backward_setup, maybe_pin_cpu
 
 
 def main() -> None:
     S = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
 
+    maybe_pin_cpu()
     import jax
-    import jax.numpy as jnp
 
     print("backend:", jax.default_backend(), flush=True)
-
-    from bench import build_case
-    from storage_tpu.compile import build_valuation_context
     from storage_tpu.engines import lsmc as L
-    from storage_tpu.models.multi_factor import (
-        build_sim_coefficients,
-        create_3_factor_season_params,
-    )
-    from storage_tpu.models.simulation import simulate_factor_paths
     from storage_tpu.ops.pallas_backward import pick_backward_block
-    from storage_tpu.ops.regression import basis_spec
-    from storage_tpu.utils.basis import (
-        THREE_FACTOR_SEASONAL_ALIASES,
-        parse_basis_functions,
-    )
 
-    storage, fwd_curve, ir_curve, settle = build_case()
-    ctx = build_valuation_context(
-        storage, "2021-04-25", 1500.0, fwd_curve, ir_curve, settle, 100
-    )
-    f3, c3 = create_3_factor_season_params(
-        "D", 91.0, 0.85, 0.30, 0.19, ctx.val_period, storage.end
-    )
-    coeffs_sim = build_sim_coefficients(
-        f3, c3, ctx.val_period, fwd_curve, list(ctx.periods[1:])
-    )
-    spec = basis_spec(
-        parse_basis_functions(
-            "1 + x_st + x_sw + x_lt + s + x_st**2 + x_sw**2 + x_lt**2 + s**2 + s * x_st",
-            THREE_FACTOR_SEASONAL_ALIASES,
-        ),
-        num_factors=3,
-    )
-    statics = dict(
-        spec=spec, interp_kind=ctx.interp_kind,
-        num_grid_points=ctx.num_grid_points, extra_decisions=0,
-        val_first=ctx.val_date_is_first_step, terminal_fn=storage.terminal_npv_fn,
-    )
-    dev = L.device_inputs(ctx, jnp.float32)
-    reg = simulate_factor_paths(coeffs_sim, S, seed=11)
-    vols = jnp.asarray(coeffs_sim.vols, jnp.float32)
-    drift = jnp.asarray(coeffs_sim.log_fwd_drift, jnp.float32)
-    blk = pick_backward_block(S, ctx.num_grid_points)
+    statics, dev, reg, vols, drift, G, n_steps = bench_backward_setup(S)
+    blk = pick_backward_block(S, G)
 
     def run_leg(label, fold):
         os.environ["STORAGE_TPU_FOLD_AFFINE"] = "1" if fold else ""
@@ -94,9 +59,9 @@ def main() -> None:
             npv, _ = once()
             walls.append(time.perf_counter() - t0)
         best = min(walls)
-        print(f"{label}: backward {S:,} x 365: best {best:.3f}s "
-              f"({best / 365 * 1e3:.3f} ms/step)  runs={[f'{w:.3f}' for w in walls]}",
-              flush=True)
+        print(f"{label}: backward {S:,} x {n_steps}: best {best:.3f}s "
+              f"({best / n_steps * 1e3:.3f} ms/step)  "
+              f"runs={[f'{w:.3f}' for w in walls]}", flush=True)
         return npv, best
 
     npv_p, wall_p = run_leg("prod", fold=False)

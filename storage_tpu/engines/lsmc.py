@@ -866,18 +866,25 @@ def _check_backward_health(coeffs, vbars, fwd=None) -> None:
             raise StorageError(msg)
 
 
-def _check_forward_health(pv, backward_npv) -> None:
+def _check_forward_health(pv, inv_final, backward_npv) -> None:
     """Forward-side twin of :func:`_check_backward_health`: if an XLA forward
     scan ever crosses the overflow threshold (see ``_MAX_SCAN_ELEMENTS``), the
-    per-sim PV vector comes back all-zero or non-finite.  A legitimately
-    zero-value facility is distinguished by the backward estimate: when the
-    backward pass itself valued the store at ~0 a zero forward PV is expected
-    and allowed.  One stacked fetch, same cost posture as the backward probe.
+    per-sim PV vector comes back all-zero or non-finite.  Legitimately
+    zero-PV runs are distinguished two ways: (a) when the backward pass
+    itself valued the store at ~0, a zero forward PV is expected; (b) a
+    facility whose value is entirely TERMINAL (do-nothing optimal at every
+    step with a ``terminal_storage_npv``) has zero decision PV but a non-zero
+    backward estimate — there the final inventory equals the (non-zero)
+    starting inventory, whereas the overflow failure zeroes the whole scan
+    carry including inventory.  Only the pv-zero AND inventory-zero AND
+    backward-non-zero combination raises.  One stacked fetch, same cost
+    posture as the backward probe.
     """
-    finite_p, nonzero_p, back_zero = np.asarray(
+    finite_p, nonzero_p, inv_nonzero_p, back_zero = np.asarray(
         jnp.stack([
             jnp.all(jnp.isfinite(pv)).astype(jnp.float32),
             jnp.any(pv != 0.0).astype(jnp.float32),
+            jnp.any(inv_final != 0.0).astype(jnp.float32),
             (jnp.abs(backward_npv) < 1e-9).astype(jnp.float32),
         ])
     )
@@ -887,13 +894,14 @@ def _check_forward_health(pv, backward_npv) -> None:
             "indicates a numerical failure in the forward scan (see the "
             "_MAX_SCAN_ELEMENTS note in engines/lsmc.py)."
         )
-    if pv.size and not nonzero_p and not back_zero:
+    if pv.size and not nonzero_p and not inv_nonzero_p and not back_zero:
         import logging
         import os
 
         msg = (
-            "Forward simulation PV is identically zero while the backward "
-            "estimate is not — this is the known scan-overflow backend "
+            "Forward simulation PV and inventory paths are identically zero "
+            "while the backward estimate is not — this is the known "
+            "scan-overflow backend "
             "failure signature (engines/lsmc.py _MAX_SCAN_ELEMENTS); a "
             "silently-wrong NPV must not be returned. Set "
             "STORAGE_TPU_ALLOW_ZERO_SURFACE=1 to downgrade to a warning."
@@ -1512,7 +1520,7 @@ def _run_lsmc_chunked(
                 lambda u, v_: jnp.concatenate([u, v_], axis=0), outputs0, stacked
             )
         carry = (inv_carry, pv_total + pv0_s)
-        _check_forward_health(carry[1], backward_npv)
+        _check_forward_health(carry[1], carry[0], backward_npv)
         end_spots = spot_from_factors(val_last(), sim_vols[-1], sim_drift[-1])
         arrays = _assemble_arrays(
             stacked, carry, end_spots, terminal_fn, backward_npv, dtype,
@@ -1578,7 +1586,7 @@ def _run_lsmc_chunked(
         report(BACKWARD_PCNT_TIME + (1.0 - BACKWARD_PCNT_TIME) * (i + 1) / total_fwd)
 
     stacked = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *out_parts)
-    _check_forward_health(carry[1], backward_npv)
+    _check_forward_health(carry[1], carry[0], backward_npv)
     end_spots = spot_from_factors(val_last(), sim_vols[-1], sim_drift[-1])
     arrays = _assemble_arrays(
         stacked, carry, end_spots, terminal_fn, backward_npv, dtype, collect_panels

@@ -193,6 +193,9 @@ def _build_storage(
         cmdty_consumed_withdraw=float(cmdty_consumed_on_withdrawal),
         ratchets=_ratchets_from_range(ratchets),
         ratchet_interp=_INTERP[ratchet_interpolation],
+        # 1e-10 is the REFERENCE add-in's blank-cell default
+        # (IntrinsicXl.cs:119 DefaultIfExcelEmptyOrMissing(..., 1E-10)) —
+        # deliberately tighter than CmdtyStorage's Python-API default (1e-9).
         numerical_tolerance=float(_default(numerical_tolerance, 1e-10)),
     )
 

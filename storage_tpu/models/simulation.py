@@ -393,6 +393,10 @@ class StreamingFactorSource:
         if self._span_cache is not None and self._span_cache[0] == i:
             out = self._span_cache[1]
         else:
+            # Drop the stale span BEFORE materialising the next one: holding
+            # both would transiently double the streamed-path footprint that
+            # STORAGE_TPU_MAX_PATH_BYTES sized to ONE [span, F, S] block.
+            self._span_cache = None
             y0 = self._checkpoints()[i]
             out = _factor_span_kernel(
                 self._key, y0, self._decay, self._chol, s0,

@@ -614,7 +614,8 @@ class TestForwardHealthProbe:
 
         with pytest.raises(StorageError, match="identically zero"):
             _check_forward_health(
-                jnp.zeros((64,), jnp.float32), jnp.asarray(123.4, jnp.float32)
+                jnp.zeros((64,), jnp.float32), jnp.zeros((64,), jnp.float32),
+                jnp.asarray(123.4, jnp.float32),
             )
 
     def test_zero_pv_zero_backward_passes(self):
@@ -623,7 +624,8 @@ class TestForwardHealthProbe:
         from storage_tpu.engines.lsmc import _check_forward_health
 
         _check_forward_health(
-            jnp.zeros((64,), jnp.float32), jnp.asarray(0.0, jnp.float32)
+            jnp.zeros((64,), jnp.float32), jnp.zeros((64,), jnp.float32),
+            jnp.asarray(0.0, jnp.float32),
         )
 
     def test_nonfinite_pv_raises(self):
@@ -634,7 +636,9 @@ class TestForwardHealthProbe:
 
         pv = jnp.asarray(np.array([1.0, np.nan, 2.0], np.float32))
         with pytest.raises(StorageError, match="non-finite"):
-            _check_forward_health(pv, jnp.asarray(1.0, jnp.float32))
+            _check_forward_health(
+                pv, jnp.ones((3,), jnp.float32), jnp.asarray(1.0, jnp.float32)
+            )
 
     def test_healthy_pv_passes(self):
         import jax.numpy as jnp
@@ -642,5 +646,22 @@ class TestForwardHealthProbe:
         from storage_tpu.engines.lsmc import _check_forward_health
 
         _check_forward_health(
-            jnp.ones((64,), jnp.float32), jnp.asarray(123.4, jnp.float32)
+            jnp.ones((64,), jnp.float32), jnp.ones((64,), jnp.float32),
+            jnp.asarray(123.4, jnp.float32),
+        )
+
+    def test_terminal_only_value_passes(self):
+        # A facility whose entire value is terminal (do-nothing optimal at
+        # every step + terminal_storage_npv): zero decision PV, non-zero
+        # backward estimate, but the inventory carry holds the starting
+        # inventory — NOT the scan-overflow signature (which zeroes the
+        # whole carry, inventory included).
+        import jax.numpy as jnp
+
+        from storage_tpu.engines.lsmc import _check_forward_health
+
+        _check_forward_health(
+            jnp.zeros((64,), jnp.float32),
+            jnp.full((64,), 1500.0, jnp.float32),
+            jnp.asarray(123.4, jnp.float32),
         )
