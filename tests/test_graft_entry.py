@@ -56,10 +56,31 @@ def test_dryrun_multichip_driver_pattern():
     )
 
 
+def _default_backend_up() -> bool:
+    """Probe default-backend init in a subprocess with a kill timeout.
+
+    On this image the default backend is the axon TPU tunnel, whose outage
+    mode HANGS ``jax.device_count()`` in-process for >500 s (see
+    bench.py::wait_for_backend) — a test that deliberately initialises the
+    default backend must skip, not hang/fail, while the tunnel is down.
+    On CI the default backend is CPU and this returns True in seconds.
+    """
+    try:
+        return subprocess.run(
+            [sys.executable, "-c", "import jax; jax.device_count()"],
+            env=_fresh_env(), capture_output=True, timeout=180,
+        ).returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 @pytest.mark.slow
 def test_dryrun_multichip_after_backend_init():
     """Pre-initialising the default backend must fall back to the subprocess
     route and still succeed (the driver may call jax.device_count() first)."""
+    if not _default_backend_up():
+        pytest.skip("default backend (axon tunnel) is down — outage, not a "
+                    "code regression; see bench.py::wait_for_backend")
     code = (
         f"import sys; sys.path.insert(0, {REPO!r}); "
         "import jax; jax.device_count(); "
