@@ -117,11 +117,18 @@ def main() -> None:
     assert np.isfinite(res.npv) and np.isfinite(res.deltas).all()
 
     budget_s = 10.0 * (8 / max(num_chips, 1)) * (num_sims / 1_000_000) * (n_steps / 365.0)
+    backend = jax.default_backend()
+    # Label honestly: a CPU smoke run must not read as a TPU measurement
+    # (an early artifact said "1 TPU chip(s)" for a CPU-backend run).
+    device_desc = (
+        f"{num_chips} TPU chip(s)" if backend == "tpu"
+        else f"{num_chips} {backend} device(s) [NOT TPU — smoke run]"
+    )
     line = {
         "metric": (
             f"pod-scale hourly LSMC (BASELINE configs[4]): {years}-yr hourly "
             f"({n_steps:,} steps) x {num_sims:,} antithetic paths, streamed factor "
-            f"source, full deltas+triggers, {num_chips} TPU chip(s); pro-rata "
+            f"source, full deltas+triggers, {device_desc}; pro-rata "
             f"budget {budget_s:.0f}s"
         ),
         "value": round(wall, 3),
@@ -129,6 +136,7 @@ def main() -> None:
         "vs_baseline": round(budget_s / wall, 3),
         "npv": round(float(res.npv), 1),
         "steps_per_ms": round(n_steps / wall / 1000.0, 3),
+        "backend": backend,
     }
     print(json.dumps(line))
     stamp = time.strftime("%Y%m%dT%H%M%S")
