@@ -69,6 +69,13 @@ def upper_bound(
     """Max inventory this period from which next period's space is reachable."""
     if interp_kind == INTERP_POLY:
         min_at_max, max_at_max = interp_rates_host(pillars, cur_max, interp_kind)
+        # Deliberate parity deviation: this feasibility early-return applies
+        # the loss factor, consistent with the root equation below; the
+        # reference's check omits it (PolynomialInjectWithdrawConstraint.cs:
+        # 94-101 uses `currentPeriodMaxInventory + rate`) even though its own
+        # PolyToSolve includes `inventory * (1 - inventoryPercentLoss)`
+        # (:104-106) — an internal inconsistency that shifts bounds for lossy
+        # polynomial-ratchet storages.  Same deviation in lower_bound.
         if (cur_max * (1.0 - loss) + min_at_max <= next_hi
                 and next_lo <= cur_max * (1.0 - loss) + max_at_max):
             return cur_max

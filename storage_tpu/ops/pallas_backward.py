@@ -43,7 +43,7 @@ per-grid decision economics enter through the augmented tables (computed by
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -434,11 +434,19 @@ def assemble_regression(graw, praw, musd_approx, delta, num_sims,
     mu = m_a + s_a * zbar
     sd = s_a * jnp.sqrt(var_z)
     # Constant-column detection must tolerate the f32 cancellation floor of
-    # E[z^2] - zbar^2 (~1e-7 relative): a column whose variance is below
-    # 1e-5 of its raw second moment is numerically constant and passes
-    # through raw, like ``standardize_columns`` (which sees exact data and
-    # can use a much tighter eps).
-    is_const = var_z <= jnp.maximum(1e-5 * ez2, eps)
+    # E[z^2] - zbar^2.  For a CONSTANT z (a column constant in the previous
+    # period — e.g. a factor whose vol loading is zero over the early steps —
+    # standardized with the CURRENT period's stats, so z is a non-zero
+    # constant) the floor is set by f32 summation error, which grows with
+    # the accumulation structure: ~(block_lanes + num_blocks)/2 * eps32
+    # relative, measured 2.9e-5 at 4096 sims and bounded by ~2.4e-4 at 1M
+    # sims (worst block split).  1e-3 covers every practical path count with
+    # >= 4x headroom; a missed detection is far worse than a false positive
+    # (the constant column gets sd ~ its own noise floor and is amplified
+    # 100-5000x into the Gram, corrupting that period's coefficients, while
+    # a false positive merely passes a <= 3%-relative-sd column through raw
+    # like ``standardize_columns`` does with its exact-data eps).
+    is_const = var_z <= jnp.maximum(1e-3 * ez2, eps)
     mu = jnp.where(is_const, 0.0, mu)
     sd = jnp.where(is_const, 1.0, sd)
 

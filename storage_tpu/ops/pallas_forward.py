@@ -29,10 +29,10 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .decisions import clipped_decision_bounds
 from .regression import BasisSpec
 
 # Packed per-step scalar layout (column indices into scalars[n, :]).
@@ -161,14 +161,13 @@ def _forward_kernel(
                     in_seg, pil_max[p_idx] + (pil_max[p_idx + 1] - pil_max[p_idx]) * w_seg, max_rate
                 )
 
-        # Fixed-width bang-bang decision set, D = 3 (ops/decisions.py semantics).
+        # Fixed-width bang-bang decision set, D = 3 — the SHARED clipping
+        # kernel (pure jnp.where on lane vectors, Pallas-safe), so the
+        # forward set can never drift from the backward one
+        # (step_economics -> bang_bang_decisions_fixed uses the same fn).
         lo, hi, loss_rate = sc[_SC_LO], sc[_SC_HI], sc[_SC_LOSS]
         loss_amt = loss_rate * inv
-        after_loss = inv - loss_amt
-        aw = min_rate + after_loss
-        yw = jnp.where(aw > hi, hi - after_loss, jnp.where(aw > lo, min_rate, lo - after_loss))
-        ai = max_rate + after_loss
-        yi = jnp.where(ai < lo, lo - after_loss, jnp.where(ai < hi, max_rate, hi - after_loss))
+        yw, yi = clipped_decision_bounds(min_rate, max_rate, inv, loss_amt, lo, hi)
         has_zero = (yw < 0.0) & (yi > 0.0)
         d_mid = jnp.where(has_zero, 0.0, yi)
         decisions = (yw, d_mid, yi)

@@ -117,8 +117,10 @@ def pad_pillars(tables, num_pillars: int | None = None) -> np.ndarray:
             raise ValueError("num_pillars smaller than a provided pillar table.")
         pad = max_p - a.shape[0]
         if ncols > 3 and pad:
-            # Keep Horner order: zero-pad the COEFFICIENT columns at the top
-            # (highest powers), repeat the last geometry row at the bottom.
+            # Keep Horner order: the real table goes at the BOTTOM (so the
+            # zero-padded COEFFICIENT rows above it are the highest powers)
+            # and the padding's geometry columns repeat the FIRST geometry
+            # row at the top — the inverse of the non-poly branch below.
             out[k, pad:, :] = a
             out[k, :pad, :3] = a[0, :3]
         else:

@@ -197,3 +197,68 @@ class TestAssembleRegression:
         np.testing.assert_allclose(
             np.asarray(coeffs), coeffs_ref, atol=5e-4 * scale, rtol=5e-4
         )
+
+    def test_prev_constant_column_with_f32_accumulated_partials(self):
+        """A column CONSTANT in the previous period standardized by the
+        current period's (different) stats is a non-zero constant z.  With
+        partials accumulated in f32 — the kernel's exact op — the
+        cancellation floor of E[z^2] - zbar^2 is ~3e-5 relative at 4096 sims
+        (f32 summation error, NOT the ~1e-7 of rounding one value), which the
+        old 1e-5 threshold missed: sd came out ~1e-2..1e-4 instead of
+        pass-through and the amplified column corrupted that period's
+        coefficients ~10%.  Review finding, round 4."""
+        import jax
+        import jax.numpy as jnp
+
+        from storage_tpu.ops.pallas_backward import assemble_regression
+
+        rng = np.random.default_rng(11)
+        S, B, G = 4096, 4, 5
+        X = rng.standard_normal((S, B)) * [1.5, 0.2, 3.0, 0.8] + [2.0, -1.0, 10.0, 0.0]
+        X[:, 1] = 1.0  # constant THIS (previous) period
+        V = rng.standard_normal((S, G)) * 50.0 + 1000.0
+        vbar_new = V.mean(axis=0)
+        c_prev = vbar_new + rng.standard_normal(G)
+
+        # Current-period stats: the column VARIES there (m=2, s=0.7), so z is
+        # the non-zero constant (1 - 2) / 0.7 — the dangerous case.
+        m_a = X.mean(axis=0) + 0.1 * rng.standard_normal(B)
+        s_a = np.where(X.std(axis=0) < 1e-9, 1.0,
+                       X.std(axis=0) * (1.0 + 0.05 * rng.standard_normal(B)))
+        m_a[1], s_a[1] = 2.0, 0.7
+
+        # Accumulate the partials with the kernel's exact op: f32 inputs,
+        # f32-accumulating dot at HIGHEST precision.
+        Z1 = np.concatenate([(X - m_a) / s_a, np.ones((S, 1))], axis=1)
+        z32 = jnp.asarray(Z1, jnp.float32)
+        v32 = jnp.asarray(V - c_prev, jnp.float32)
+        dn = (((0,), (0,)), ((), ()))
+        graw = jax.lax.dot_general(z32, z32, dimension_numbers=dn,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+        praw = jax.lax.dot_general(z32, v32, dimension_numbers=dn,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+
+        coeffs, mu, sd = assemble_regression(
+            graw, praw,
+            jnp.asarray(np.stack([m_a, s_a]), jnp.float32),
+            jnp.asarray(vbar_new - c_prev, jnp.float32), S,
+        )
+
+        # The constant column must pass through raw (mu=0, sd=1), as
+        # standardize_columns does with exact data.
+        assert float(mu[1]) == 0.0 and float(sd[1]) == 1.0
+
+        Xs_ref = np.concatenate(
+            [(X[:, :1] - X[:, :1].mean()) / X[:, :1].std(), X[:, 1:2],
+             (X[:, 2:] - X[:, 2:].mean(axis=0)) / X[:, 2:].std(axis=0)],
+            axis=1,
+        )
+        gram_ref = Xs_ref.T @ Xs_ref + 1e-6 * S * np.eye(B)
+        rhs_ref = Xs_ref.T @ (V - vbar_new)
+        coeffs_ref = np.linalg.solve(gram_ref, rhs_ref)
+        scale = np.abs(coeffs_ref).max()
+        np.testing.assert_allclose(
+            np.asarray(coeffs), coeffs_ref, atol=2e-3 * scale, rtol=2e-3
+        )
