@@ -403,9 +403,12 @@ def main() -> None:
         "vs_baseline": round(north_star_budget_s / out["wall"], 3),
         "fallback": out["fallback"],
         "streamed": out["streamed"],
-        # Same spelling as the engine gate (lsmc.py: == "1") so the
-        # record can't claim the experimental kernel for e.g. "0".
+        # Same spelling as the engine gates (lsmc.py) so the record can't
+        # claim an experimental kernel for e.g. "0".
         "fold_affine": os.environ.get("STORAGE_TPU_FOLD_AFFINE", "") == "1",
+        "bwd_sub_tiles": max(
+            1, int(os.environ.get("STORAGE_TPU_BWD_SUBTILES", "1"))
+        ),
     }
     # Only genuine TPU measurements enter the ledger (CPU smoke runs pass
     # `STORAGE_TPU_BENCH_INIT_WAIT_S=0` and run tiny configs — recording one

@@ -16,6 +16,17 @@ hang is survivable by the caller's `timeout`:
 Prints warm-compile and best-of-3 wall for the full backward scan at the
 bench config's shape (compare legs across processes; same seed/config).
 PROBE_CPU=1 pins the CPU backend (interpret mode) for smoke runs.
+
+The SUB-TILE alternative (if wide blocks still hang): keep width 1024 and
+set STORAGE_TPU_BWD_SUBTILES=N — the kernel's VMEM block widens to N x 1024
+lanes while every vector op stays 1024 wide, halving/quartering the
+per-grid-step fixed overhead without the 2048-lane Mosaic ops:
+
+    for t in 2 4; do
+        STORAGE_TPU_BWD_SUBTILES=$t timeout 900 \
+            python benchmarks/probes/block_width_probe.py 1024 1000000 \
+            || echo "subtiles $t: FAILED/HUNG (rc=$?)"
+    done
 """
 import os
 import sys

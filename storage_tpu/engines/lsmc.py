@@ -353,6 +353,11 @@ def backward_scan_pallas(
     # round-3 bisection measured clean).  Gated until the chip measurement
     # confirms accuracy + speedup; see ops/pallas_backward.py.
     fold_affine = os.environ.get("STORAGE_TPU_FOLD_AFFINE", "") == "1"
+    # Experimental dispatch-overhead amortisation: widen the kernel's VMEM
+    # block to N compute tiles (every vector op stays at the measured-safe
+    # block_sims width) so the per-grid-step fixed overhead is paid once per
+    # N tiles.  Gated until the chip measures it; see ops/pallas_backward.py.
+    sub_tiles = max(1, int(os.environ.get("STORAGE_TPU_BWD_SUBTILES", "1")))
 
     G = num_grid_points
     S = v_init.shape[0]
@@ -362,9 +367,12 @@ def backward_scan_pallas(
 
     # Single device: transpose + lane-pad ONCE for the whole scan (the padded
     # lanes run through every step harmlessly and are masked out of the row
-    # sums).  Under a mesh the padding must be per shard, so the carry stays
-    # unpadded and the shard-local kernel wrapper pads (a tiny per-step copy).
-    S_pad = (-(-S // block_sims) * block_sims) if mesh is None else S
+    # sums) — to the full VMEM span so the kernel wrapper never re-pads the
+    # carry per step.  Under a mesh the padding must be per shard, so the
+    # carry stays unpadded and the shard-local kernel wrapper pads (a tiny
+    # per-step copy).
+    span = block_sims * min(sub_tiles, max(1, -(-true_local // block_sims)))
+    S_pad = (-(-S // span) * span) if mesh is None else S
     v_t = jnp.pad(v_init.T, ((0, 0), (0, S_pad - S))) if S_pad != S else v_init.T
     factors_t = factors  # [m, F, S]
     if S_pad != S:
@@ -455,6 +463,7 @@ def backward_scan_pallas(
             f, f_prev, v_next_t, cwa_t, vbar_in, musd, wdt, scal,
             spec=spec, num_grid=G, block_sims=block_sims, true_sims=true_local,
             interpret=interpret, mesh=mesh, fold_affine=fold_affine,
+            sub_tiles=sub_tiles,
         ), musd
 
     def slice_xs(all_xs, k):

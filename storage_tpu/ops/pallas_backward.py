@@ -82,14 +82,50 @@ def _backward_kernel(
     num_decisions: int,
     true_sims: int,
     fold_affine: bool = False,
+    sub_tiles: int = 1,
 ):
-    bS = v_ref.shape[-1]
+    span = v_ref.shape[-1]
+    if span % sub_tiles:
+        raise ValueError("VMEM block width must divide into sub_tiles")
+    bS = span // sub_tiles  # compute-tile lane width (every vector op's width)
+
+    # With sub_tiles > 1 the VMEM block spans several compute tiles and the
+    # per-tile body below runs (unrolled) once per tile: every vector op stays
+    # at the measured-safe <=1024-lane width while the per-grid-step fixed
+    # overhead (DMA descriptor setup for the 11 operands, semaphores, scalar
+    # prologue — the ~2.2 us/block floor, ROUND2_NOTES "Known gaps") is paid
+    # once per SPAN.  The regression partials accumulate across tiles in
+    # registers and are written once.
+    graw_acc = None
+    praw_acc = None
+    for s in range(sub_tiles):
+        sl = slice(s * bS, (s + 1) * bS)
+        g_sl, p_sl = _backward_tile(
+            factors_ref, fprev_ref, v_ref, cwa_ref, vbar_ref, musd_ref,
+            wdt_ref, scal_ref, v_out_ref, sl=sl, bS=bS,
+            lane_offset=pl.program_id(0) * span + s * bS,
+            spec=spec, num_factors=num_factors, num_decisions=num_decisions,
+            true_sims=true_sims, fold_affine=fold_affine,
+        )
+        graw_acc = g_sl if graw_acc is None else graw_acc + g_sl
+        praw_acc = p_sl if praw_acc is None else praw_acc + p_sl
+    graw_ref[0, :, :] = graw_acc
+    praw_ref[0, :, :] = praw_acc
+
+
+def _backward_tile(
+    factors_ref, fprev_ref, v_ref, cwa_ref, vbar_ref, musd_ref, wdt_ref,
+    scal_ref, v_out_ref, *, sl, bS, lane_offset, spec, num_factors,
+    num_decisions, true_sims, fold_affine,
+):
+    """One compute tile of the backward update (lane slice ``sl`` of the VMEM
+    block); writes the tile's new values and returns its regression partials."""
     B = spec.num_basis
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, bS), 1)
-    valid_f = ((lane + pl.program_id(0) * bS) < true_sims).astype(jnp.float32)
+    valid_f = ((lane + lane_offset) < true_sims).astype(jnp.float32)
 
     def spot_of(fac_ref, row):
-        rows = [fac_ref[i : i + 1, :] for i in range(num_factors)]  # [1, bS]
+        rows = [fac_ref[i : i + 1, sl] for i in range(num_factors)]  # [1, bS]
         log_spot = scal_ref[row, 0]
         for i in range(num_factors):
             log_spot = log_spot + scal_ref[row, 1 + i] * rows[i]
@@ -117,7 +153,7 @@ def _backward_kernel(
     # the full ~16-bit effective precision — half the passes of the classic
     # bf16x3 split and a third of HIGHEST (which was measured slower at
     # equal accuracy and rejected; see ROUND2_NOTES.md).
-    v_c = v_ref[...] - vbar_ref[...]  # [G, bS]
+    v_c = v_ref[:, sl] - vbar_ref[...]  # [G, bS]
     v_hi = v_c.astype(jnp.bfloat16)
     v_lo = (v_c - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
@@ -188,7 +224,7 @@ def _backward_kernel(
             best_fitted = jnp.where(better, total, best_fitted)
             best_actual = jnp.where(better, actual, best_actual)
 
-    v_out_ref[...] = best_actual
+    v_out_ref[:, sl] = best_actual
 
     # Regression partials for the NEXT scan step, computed while the
     # just-written surface is still in VMEM: the previous period's design
@@ -212,16 +248,17 @@ def _backward_kernel(
     # the new sim-mean as vbar_next + praw[B] / S.
     v_out_c = best_actual - vbar_ref[...]
     lanes_dn = (((1,), (1,)), ((), ()))
-    graw_ref[0, :, :] = jax.lax.dot_general(
+    graw = jax.lax.dot_general(
         xr, xr, dimension_numbers=lanes_dn,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    praw_ref[0, :, :] = jax.lax.dot_general(
+    praw = jax.lax.dot_general(
         xr, v_out_c, dimension_numbers=lanes_dn,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
+    return graw, praw
 
 
 def _backward_update_local(
@@ -239,27 +276,34 @@ def _backward_update_local(
     true_sims: int,
     interpret: bool,
     fold_affine: bool = False,
+    sub_tiles: int = 1,
 ):
     """Device-local kernel invocation on the TRANSPOSED surface.
 
-    Inputs may be lane-padded to a multiple of ``block_sims`` already (the
-    single-device scan pre-pads ONCE for the whole scan) or unpadded (the
-    per-shard body under a mesh — local shards pad here, a tiny per-step
-    copy); ``true_sims`` is the real (unpadded) count for masking.  Returns
-    ``(v_this_t [G, S_in], graw [B+1, B+1] f32, praw [B+1, G] f32)`` — the
-    new surface (at the input's lane count) and the raw regression partials
-    for the previous period (sums, not means: under a paths mesh the caller
-    psums the per-shard sums before dividing by the global sim count).
+    Inputs may be lane-padded to a multiple of the VMEM block span already
+    (the single-device scan pre-pads ONCE for the whole scan) or unpadded
+    (the per-shard body under a mesh — local shards pad here, a tiny per-step
+    copy); ``true_sims`` is the real (unpadded) count for masking.
+    ``sub_tiles`` widens the VMEM block to ``block_sims * sub_tiles`` lanes
+    while keeping every compute op at ``block_sims`` width (see
+    :func:`_backward_kernel`); it is clamped so small path counts never pay
+    extra dead lanes.  Returns ``(v_this_t [G, S_in], graw [B+1, B+1] f32,
+    praw [B+1, G] f32)`` — the new surface (at the input's lane count) and
+    the raw regression partials for the previous period (sums, not means:
+    under a paths mesh the caller psums the per-shard sums before dividing
+    by the global sim count).
     """
     if block_sims % 128:
         raise ValueError("block_sims must be a multiple of 128 (TPU lanes).")
     S_in = v_next_t.shape[-1]
-    S_pad = -(-S_in // block_sims) * block_sims
+    sub_tiles = max(1, min(sub_tiles, -(-S_in // block_sims)))
+    span = block_sims * sub_tiles
+    S_pad = -(-S_in // span) * span
     if S_pad != S_in:
         factors_t = jnp.pad(factors_t, ((0, 0), (0, S_pad - S_in)))
         fprev_t = jnp.pad(fprev_t, ((0, 0), (0, S_pad - S_in)))
         v_next_t = jnp.pad(v_next_t, ((0, 0), (0, S_pad - S_in)))
-    num_blocks = S_pad // block_sims
+    num_blocks = S_pad // span
     B = spec.num_basis
     D = wdt.shape[0]
     num_factors = factors_t.shape[0]
@@ -272,16 +316,17 @@ def _backward_update_local(
         num_decisions=D,
         true_sims=true_sims,
         fold_affine=fold_affine,
+        sub_tiles=sub_tiles,
     )
     v_this, graws, praws = pl.pallas_call(
         kernel,
         grid=(num_blocks,),
         in_specs=[
-            pl.BlockSpec((num_factors, block_sims), lambda i: (0, i),
+            pl.BlockSpec((num_factors, span), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_factors, block_sims), lambda i: (0, i),
+            pl.BlockSpec((num_factors, span), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_grid, block_sims), lambda i: (0, i),
+            pl.BlockSpec((num_grid, span), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((D, num_grid, B + 2), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -293,7 +338,7 @@ def _backward_update_local(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((num_grid, block_sims), lambda i: (0, i),
+            pl.BlockSpec((num_grid, span), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B + 1, B + 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -326,7 +371,7 @@ def _backward_update_local(
     jax.jit,
     static_argnames=(
         "spec", "num_grid", "block_sims", "true_sims", "interpret",
-        "mesh", "axis_name", "fold_affine",
+        "mesh", "axis_name", "fold_affine", "sub_tiles",
     ),
 )
 def pallas_backward_update(
@@ -346,6 +391,7 @@ def pallas_backward_update(
     mesh=None,
     axis_name: Optional[str] = None,
     fold_affine: bool = False,
+    sub_tiles: int = 1,
 ):
     """One fused backward value update on the transposed surface.
 
@@ -364,6 +410,7 @@ def pallas_backward_update(
         _backward_update_local,
         spec=spec, num_grid=num_grid, block_sims=block_sims,
         true_sims=true_sims, interpret=interpret, fold_affine=fold_affine,
+        sub_tiles=sub_tiles,
     )
     if mesh is None:
         v_this, graw, praw = local(

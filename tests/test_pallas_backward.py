@@ -52,7 +52,7 @@ def scenario(request):
     return ctx, dev, spec, sim_vols, sim_drift, reg, extras
 
 
-def run_backward(scenario, use_pallas):
+def run_backward(scenario, use_pallas, block_sims=None):
     ctx, dev, spec, sim_vols, sim_drift, reg, extras = scenario
     n = ctx.n_steps
     S = reg.shape[-1]
@@ -71,7 +71,8 @@ def run_backward(scenario, use_pallas):
               extra_decisions=extras)
     if use_pallas:
         return backward_scan_pallas(
-            *args, block_sims=pick_backward_block(S, G), interpret=True, **kw
+            *args, block_sims=block_sims or pick_backward_block(S, G),
+            interpret=True, **kw
         )
     return backward_scan(*args, **kw)
 
@@ -140,6 +141,53 @@ class TestBackwardKernelParity:
         assert rel.max() < 0.02  # near-tie flip tail, same cap as vs XLA
         vb_rel = np.abs(np.asarray(vb_f) - np.asarray(vb_p)) / scale
         assert vb_rel.max() < 1e-3
+
+
+class TestSubTiles:
+    """STORAGE_TPU_BWD_SUBTILES=N widens the kernel's VMEM block to N compute
+    tiles (dispatch-overhead amortisation, ROUND2_NOTES ~2.2 us/block floor).
+
+    Arithmetic identity: (block_sims=128, sub_tiles=2) performs the SAME
+    per-sim ops as (block_sims=128, 2 grid blocks) and sums the two tiles'
+    regression partials in the same order the baseline's cross-block sum
+    does — so the two configurations must agree to float noise, not just
+    statistically.
+    """
+
+    def test_two_sub_tiles_match_two_blocks(self, scenario, monkeypatch):
+        import jax
+
+        v_b, cf_b, mu_b, sd_b, vb_b = run_backward(
+            scenario, use_pallas=True, block_sims=128)
+        monkeypatch.setenv("STORAGE_TPU_BWD_SUBTILES", "2")
+        jax.clear_caches()  # the env gate is read at trace time
+        v_s, cf_s, mu_s, sd_s, vb_s = run_backward(
+            scenario, use_pallas=True, block_sims=128)
+        jax.clear_caches()
+        np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_b),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(sd_s), np.asarray(sd_b),
+                                   rtol=1e-6, atol=1e-7)
+        cf_scale = np.abs(np.asarray(cf_b)).max()
+        assert np.abs(np.asarray(cf_s) - np.asarray(cf_b)).max() < 1e-5 * cf_scale
+        scale = np.abs(np.asarray(v_b)).max()
+        assert np.abs(np.asarray(v_s) - np.asarray(v_b)).max() < 1e-5 * scale
+        np.testing.assert_allclose(np.asarray(vb_s), np.asarray(vb_b),
+                                   rtol=1e-5, atol=1e-4 * scale)
+
+    def test_sub_tiles_clamped_for_small_path_counts(self, scenario,
+                                                     monkeypatch):
+        """At S <= block_sims the clamp must keep the span at one tile (no
+        dead-lane inflation) and reproduce the production result exactly."""
+        import jax
+
+        v_b, cf_b, *_ = run_backward(scenario, use_pallas=True, block_sims=256)
+        monkeypatch.setenv("STORAGE_TPU_BWD_SUBTILES", "4")
+        jax.clear_caches()
+        v_s, cf_s, *_ = run_backward(scenario, use_pallas=True, block_sims=256)
+        jax.clear_caches()
+        np.testing.assert_array_equal(np.asarray(v_s), np.asarray(v_b))
+        np.testing.assert_array_equal(np.asarray(cf_s), np.asarray(cf_b))
 
 
 class TestAssembleRegression:
