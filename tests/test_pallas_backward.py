@@ -175,6 +175,30 @@ class TestSubTiles:
         np.testing.assert_allclose(np.asarray(vb_s), np.asarray(vb_b),
                                    rtol=1e-5, atol=1e-4 * scale)
 
+    def test_sub_tiles_compose_with_fold_affine(self, scenario, monkeypatch):
+        """The two experimental gates are benched COMBINED (fold + sub-tiles);
+        sub-tiling must stay a float-noise identity when the fold variant is
+        the one being tiled."""
+        import jax
+
+        monkeypatch.setenv("STORAGE_TPU_FOLD_AFFINE", "1")
+        jax.clear_caches()
+        v_b, cf_b, mu_b, sd_b, vb_b = run_backward(
+            scenario, use_pallas=True, block_sims=128)
+        monkeypatch.setenv("STORAGE_TPU_BWD_SUBTILES", "2")
+        jax.clear_caches()
+        v_s, cf_s, mu_s, sd_s, vb_s = run_backward(
+            scenario, use_pallas=True, block_sims=128)
+        jax.clear_caches()
+        np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_b),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(sd_s), np.asarray(sd_b),
+                                   rtol=1e-6, atol=1e-7)
+        cf_scale = np.abs(np.asarray(cf_b)).max()
+        assert np.abs(np.asarray(cf_s) - np.asarray(cf_b)).max() < 1e-5 * cf_scale
+        scale = np.abs(np.asarray(v_b)).max()
+        assert np.abs(np.asarray(v_s) - np.asarray(v_b)).max() < 1e-5 * scale
+
     def test_sub_tiles_clamped_for_small_path_counts(self, scenario,
                                                      monkeypatch):
         """At S <= block_sims the clamp must keep the span at one tile (no
