@@ -52,8 +52,9 @@ def scenario(request):
     return ctx, dev, spec, sim_vols, sim_drift, reg, extras
 
 
-def run_backward(scenario, use_pallas, block_sims=None):
-    ctx, dev, spec, sim_vols, sim_drift, reg, extras = scenario
+def run_backward(scenario, use_pallas, block_sims=None, reg=None, mesh=None):
+    ctx, dev, spec, sim_vols, sim_drift, reg_s, extras = scenario
+    reg = reg_s if reg is None else reg
     n = ctx.n_steps
     S = reg.shape[-1]
     G = ctx.num_grid_points
@@ -72,7 +73,7 @@ def run_backward(scenario, use_pallas, block_sims=None):
     if use_pallas:
         return backward_scan_pallas(
             *args, block_sims=block_sims or pick_backward_block(S, G),
-            interpret=True, **kw
+            interpret=True, mesh=mesh, **kw
         )
     return backward_scan(*args, **kw)
 
@@ -189,6 +190,34 @@ class TestSubTiles:
         jax.clear_caches()
         v_s, cf_s, mu_s, sd_s, vb_s = run_backward(
             scenario, use_pallas=True, block_sims=128)
+        jax.clear_caches()
+        np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_b),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(sd_s), np.asarray(sd_b),
+                                   rtol=1e-6, atol=1e-7)
+        cf_scale = np.abs(np.asarray(cf_b)).max()
+        assert np.abs(np.asarray(cf_s) - np.asarray(cf_b)).max() < 1e-5 * cf_scale
+        scale = np.abs(np.asarray(v_b)).max()
+        assert np.abs(np.asarray(v_s) - np.asarray(v_b)).max() < 1e-5 * scale
+
+    def test_sub_tiles_under_paths_mesh(self, scenario, monkeypatch):
+        """The pod-scale composition: under a paths mesh the per-SHARD kernel
+        wrapper does the clamp + span padding (the scan carry stays unpadded).
+        On a 2-device mesh with 200 local sims and block 128 the shard genuinely
+        runs one 2-tile span; the result must match the default kernel to float
+        noise (same 128-lane groups, same pairwise partial sums, same psum)."""
+        import jax
+
+        from storage_tpu.parallel.mesh import paths_mesh
+
+        reg2 = jnp.concatenate([scenario[5], scenario[5]], axis=-1)  # 400 sims
+        mesh = paths_mesh(jax.devices()[:2])
+        v_b, cf_b, mu_b, sd_b, vb_b = run_backward(
+            scenario, use_pallas=True, block_sims=128, reg=reg2, mesh=mesh)
+        monkeypatch.setenv("STORAGE_TPU_BWD_SUBTILES", "2")
+        jax.clear_caches()
+        v_s, cf_s, mu_s, sd_s, vb_s = run_backward(
+            scenario, use_pallas=True, block_sims=128, reg=reg2, mesh=mesh)
         jax.clear_caches()
         np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_b),
                                    rtol=1e-6, atol=1e-7)
