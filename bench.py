@@ -146,6 +146,15 @@ LEDGER_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "benchmarks", "results")
 
 
+def _engine_sub_tiles() -> int:
+    """The engine's crash-proof STORAGE_TPU_BWD_SUBTILES parse (single source
+    of truth): a typo'd value must not abort after a successful run and leave
+    the driver without its JSON line."""
+    from storage_tpu.engines.lsmc import env_sub_tiles
+
+    return env_sub_tiles()
+
+
 def record_headline(payload: dict) -> None:
     """Append a successful hardware measurement to the durable ledger.
 
@@ -172,8 +181,12 @@ def record_headline(payload: dict) -> None:
             ).stdout.strip() or None
         except Exception:  # noqa: BLE001 - provenance is best-effort
             entry["git"] = None
+        # Microseconds in the stamp: two recordings in the same UTC second
+        # (poller + manual run) must append, not silently overwrite.
         path = os.path.join(
-            LEDGER_DIR, f"headline_{now.strftime('%Y%m%dT%H%M%S')}.json")
+            LEDGER_DIR,
+            f"headline_{now.strftime('%Y%m%dT%H%M%S')}{now.microsecond:06d}.json",
+        )
         with open(path, "w") as fh:
             json.dump(entry, fh, indent=2)
             fh.write("\n")
@@ -211,9 +224,16 @@ def stale_fallback_line(reason: str) -> dict | None:
     line = dict(last)
     line["stale"] = True
     line["stale_reason"] = reason
+    # Degraded-mode provenance must survive into the human-readable metric
+    # string, not just the JSON side fields, or an outage could re-present a
+    # fallback/streamed number as the clean headline.
+    modes = [m for flag, m in (("fallback", "chunked-driver fallback"),
+                               ("streamed", "streamed factor paths"))
+             if last.get(flag)]
+    mode_s = f" [{', '.join(modes)}]" if modes else ""
     line["metric"] = (
         f"STALE ({reason}; last real hardware measurement "
-        f"{last.get('measured_at', '?')}, git {last.get('git', '?')}): "
+        f"{last.get('measured_at', '?')}, git {last.get('git', '?')}){mode_s}: "
         + str(last.get("metric", ""))
     )
     return line
@@ -403,17 +423,18 @@ def main() -> None:
         "vs_baseline": round(north_star_budget_s / out["wall"], 3),
         "fallback": out["fallback"],
         "streamed": out["streamed"],
-        # Same spelling as the engine gates (lsmc.py) so the record can't
-        # claim an experimental kernel for e.g. "0".
+        # THE SAME PARSES as the engine gates (lsmc.py) so the record can't
+        # claim an experimental kernel for e.g. "0" or a typo'd integer.
         "fold_affine": os.environ.get("STORAGE_TPU_FOLD_AFFINE", "") == "1",
-        "bwd_sub_tiles": max(
-            1, int(os.environ.get("STORAGE_TPU_BWD_SUBTILES", "1"))
-        ),
+        "bwd_sub_tiles": _engine_sub_tiles(),
     }
-    # Only genuine TPU measurements enter the ledger (CPU smoke runs pass
-    # `STORAGE_TPU_BENCH_INIT_WAIT_S=0` and run tiny configs — recording one
-    # would poison the outage fallback with a meaningless number).
-    if jax.default_backend() != "cpu":
+    # Only genuine PRODUCTION-kernel TPU measurements enter the ledger (CPU
+    # smoke runs pass `STORAGE_TPU_BENCH_INIT_WAIT_S=0` and run tiny configs;
+    # experimental-gate legs are candidates, not headlines — recording either
+    # would let an outage promote a meaningless or unlabeled-experimental
+    # number as the stale fallback).
+    if (jax.default_backend() != "cpu" and not line["fold_affine"]
+            and line["bwd_sub_tiles"] == 1):
         record_headline({**line, "npv": out["npv"], "num_sims": num_sims,
                          "num_chips": num_chips})
     print(json.dumps(line))

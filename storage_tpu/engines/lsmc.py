@@ -35,6 +35,7 @@ Deviations from the reference (documented design choices):
 """
 from __future__ import annotations
 
+import logging
 import os
 from functools import partial
 from typing import Callable, List, NamedTuple, Optional, Sequence, Tuple
@@ -52,6 +53,21 @@ from .common import step_economics
 
 NUM_TRIGGER_VOLUMES = 10  # reference numTriggerPriceVolumes (LsmcStorageValuation.cs:367)
 BACKWARD_PCNT_TIME = 0.66  # reference progress weighting (LsmcStorageValuation.cs:46)
+
+
+def env_sub_tiles() -> int:
+    """Parse ``STORAGE_TPU_BWD_SUBTILES`` crash-proof (like the ``== "1"``
+    string gates): a typo must degrade to the production kernel with a
+    warning, not abort a valuation — or worse, kill the bench harness
+    before it prints the one JSON line the driver parses."""
+    raw = os.environ.get("STORAGE_TPU_BWD_SUBTILES", "1")
+    try:
+        return max(1, int(raw))
+    except ValueError:
+        logging.getLogger(__name__).warning(
+            "STORAGE_TPU_BWD_SUBTILES=%r is not an integer; using 1", raw
+        )
+        return 1
 
 
 class ValuationCancelledError(StorageError):
@@ -357,7 +373,7 @@ def backward_scan_pallas(
     # block to N compute tiles (every vector op stays at the measured-safe
     # block_sims width) so the per-grid-step fixed overhead is paid once per
     # N tiles.  Gated until the chip measures it; see ops/pallas_backward.py.
-    sub_tiles = max(1, int(os.environ.get("STORAGE_TPU_BWD_SUBTILES", "1")))
+    sub_tiles = env_sub_tiles()
 
     G = num_grid_points
     S = v_init.shape[0]

@@ -88,6 +88,38 @@ def _backward_kernel(
     if span % sub_tiles:
         raise ValueError("VMEM block width must divide into sub_tiles")
     bS = span // sub_tiles  # compute-tile lane width (every vector op's width)
+    B = spec.num_basis
+
+    # Per-decision matrix prep is TILE-INVARIANT (it touches only the [G, .]
+    # tables, never the lane axis), so it is built once per grid step — not
+    # re-traced inside the unrolled tile loop, which would multiply this
+    # serial VPU work by sub_tiles.  Production: the exact bf16 cast of the
+    # 1/128-quantized interp weights plus the two affine cwa columns.  Fold:
+    # the augmented (m_hi, m_lo) pair — colB (value-surface scale ~1e5) split
+    # 3-term via a doubled ones row for f32 fidelity, colB1 (price_coeff)
+    # split 2-term against the exact spot hi/lo rows (see the fold rationale
+    # in _backward_tile).
+    dec_fit = [cwa_ref[d] for d in range(num_decisions)]  # [G, B+2] each
+    dec_act = []
+    for d in range(num_decisions):
+        m16 = wdt_ref[d].astype(jnp.bfloat16)  # exact: weights are k/128
+        if fold_affine:
+            colB = cwa_ref[d, :, B][:, None]  # [G, 1] f32, exact source
+            colB1 = cwa_ref[d, :, B + 1][:, None]
+            cb_hi = colB.astype(jnp.bfloat16)
+            r1 = colB - cb_hi.astype(jnp.float32)
+            cb_md = r1.astype(jnp.bfloat16)
+            cb_lo = (r1 - cb_md.astype(jnp.float32)).astype(jnp.bfloat16)
+            c1_hi = colB1.astype(jnp.bfloat16)
+            c1_lo = (colB1 - c1_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            zero_c = jnp.zeros_like(cb_hi)
+            m_hi = jnp.concatenate([m16, cb_hi, cb_md, c1_hi, c1_hi], axis=1)
+            m_lo = jnp.concatenate([m16, cb_lo, zero_c, c1_lo, c1_lo], axis=1)
+            dec_act.append((m_hi, m_lo))
+        else:
+            dec_act.append(
+                (m16, cwa_ref[d, :, B][:, None], cwa_ref[d, :, B + 1][:, None])
+            )
 
     # With sub_tiles > 1 the VMEM block spans several compute tiles and the
     # per-tile body below runs (unrolled) once per tile: every vector op stays
@@ -101,8 +133,8 @@ def _backward_kernel(
     for s in range(sub_tiles):
         sl = slice(s * bS, (s + 1) * bS)
         g_sl, p_sl = _backward_tile(
-            factors_ref, fprev_ref, v_ref, cwa_ref, vbar_ref, musd_ref,
-            wdt_ref, scal_ref, v_out_ref, sl=sl, bS=bS,
+            factors_ref, fprev_ref, v_ref, vbar_ref, musd_ref,
+            scal_ref, v_out_ref, dec_fit, dec_act, sl=sl, bS=bS,
             lane_offset=pl.program_id(0) * span + s * bS,
             spec=spec, num_factors=num_factors, num_decisions=num_decisions,
             true_sims=true_sims, fold_affine=fold_affine,
@@ -114,12 +146,14 @@ def _backward_kernel(
 
 
 def _backward_tile(
-    factors_ref, fprev_ref, v_ref, cwa_ref, vbar_ref, musd_ref, wdt_ref,
-    scal_ref, v_out_ref, *, sl, bS, lane_offset, spec, num_factors,
-    num_decisions, true_sims, fold_affine,
+    factors_ref, fprev_ref, v_ref, vbar_ref, musd_ref,
+    scal_ref, v_out_ref, dec_fit, dec_act, *, sl, bS, lane_offset, spec,
+    num_factors, num_decisions, true_sims, fold_affine,
 ):
     """One compute tile of the backward update (lane slice ``sl`` of the VMEM
-    block); writes the tile's new values and returns its regression partials."""
+    block); writes the tile's new values and returns its regression partials.
+    ``dec_fit``/``dec_act`` are the per-decision fitted tables and prepared
+    actual-pass matrices (tile-invariant, built once in the caller)."""
     B = spec.num_basis
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, bS), 1)
     valid_f = ((lane + lane_offset) < true_sims).astype(jnp.float32)
@@ -161,23 +195,17 @@ def _backward_tile(
         # VERDICT r4 item 2 — the CLEAN affine-fold variant: ride the
         # per-decision immediate economics through the two EXISTING bf16
         # actual-surface passes, SOURCING the affine from the exact-f32 cwa
-        # columns and splitting them to bf16 hi/lo IN-KERNEL (the round-3
-        # rejection, ebb6549, shipped pre-split bf16 tables; the bisection
-        # found only the table-sourced values biased while the exact-f32
-        # cwa-sourced affine measured clean — ROUND3_NOTES "Rejected:
-        # affine-fold").  RHS gains three bf16-exact rows (ones, spot hi/lo)
-        # shared by both passes; each decision's matrix gains three columns
-        # (colB hi|lo, colB1 hi|lo paired against both spot rows), so
+        # columns and splitting them to bf16 hi/lo (the round-3 rejection,
+        # ebb6549, shipped pre-split bf16 tables; the bisection found only
+        # the table-sourced values biased while the exact-f32 cwa-sourced
+        # affine measured clean — ROUND3_NOTES "Rejected: affine-fold").
+        # RHS gains three bf16-exact rows (ones, spot hi/lo) shared by both
+        # passes; each decision's matrix gains three columns (colB hi|lo,
+        # colB1 hi|lo paired against both spot rows — split in the caller,
+        # tile-invariant), so
         #   pass_hi + pass_lo = q_d + colB + colB1 * spot
-        # colB (the M_d@vbar - cost offset) is value-surface-scale (~1e5), so
-        # a 2-term (16-bit) split measurably degrades vbar over long horizons
-        # (1.9e-4 at 91 periods, CPU-measured); TWO ones rows give it a
-        # 3-term (~24-bit, f32-fidelity) split: pass_hi carries cb_hi + cb_md
-        # against the two ones rows, pass_lo carries cb_lo against the first
-        # and zero against the second.  colB1 (price_coeff, small scale) gets
-        # the 2-term split against the exact spot hi/lo rows.  Removes 3 VPU
-        # broadcast ops x [G, bS] per decision from the serial path for ~4%
-        # more MXU work.
+        # Removes 3 VPU broadcast ops x [G, bS] per decision from the serial
+        # path for ~4% more MXU work.
         ones_b = jnp.ones((1, bS), jnp.bfloat16)
         s_hi16 = spot.astype(jnp.bfloat16)
         s_lo16 = (spot - s_hi16.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -191,31 +219,17 @@ def _backward_tile(
         # M_d @ coeffs', column B (ones row) carries M_d@vbar - cost_npv and
         # column B+1 (spot row) carries price_coeff, so this product IS
         # immediate + fitted continuation.
-        total = _mm(cwa_ref[d], xn1, jax.lax.Precision.HIGHEST)
+        total = _mm(dec_fit[d], xn1, jax.lax.Precision.HIGHEST)
         # Realised value of the same decision: centred actual continuation
         # plus the same affine pieces — column B is (M_d@vbar - cost_npv),
         # which is exactly the act-side offset too since q_d is centred.
-        m16 = wdt_ref[d].astype(jnp.bfloat16)  # exact: weights are k/128
         if fold_affine:
-            colB = cwa_ref[d, :, B][:, None]  # [G, 1] f32, exact source
-            colB1 = cwa_ref[d, :, B + 1][:, None]
-            cb_hi = colB.astype(jnp.bfloat16)
-            r1 = colB - cb_hi.astype(jnp.float32)
-            cb_md = r1.astype(jnp.bfloat16)
-            cb_lo = (r1 - cb_md.astype(jnp.float32)).astype(jnp.bfloat16)
-            c1_hi = colB1.astype(jnp.bfloat16)
-            c1_lo = (colB1 - c1_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            zero_c = jnp.zeros_like(cb_hi)
-            m_hi = jnp.concatenate([m16, cb_hi, cb_md, c1_hi, c1_hi], axis=1)
-            m_lo = jnp.concatenate([m16, cb_lo, zero_c, c1_lo, c1_lo], axis=1)
+            m_hi, m_lo = dec_act[d]
             actual = _mm(m_hi, rhs_hi) + _mm(m_lo, rhs_lo)
         else:
+            m16, colB, colB1 = dec_act[d]
             q_d = _mm(m16, v_hi) + _mm(m16, v_lo)
-            actual = (
-                q_d
-                + cwa_ref[d, :, B][:, None]
-                + cwa_ref[d, :, B + 1][:, None] * spot
-            )
+            actual = q_d + colB + colB1 * spot
         if best_fitted is None:  # decision 0 seeds unconditionally (NaN guard)
             best_fitted = total
             best_actual = actual

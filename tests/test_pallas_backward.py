@@ -78,6 +78,17 @@ def run_backward(scenario, use_pallas, block_sims=None, reg=None, mesh=None):
     return backward_scan(*args, **kw)
 
 
+def _sanitize_kernel_gates(monkeypatch):
+    """The kernel-variant A/B tests compute their baseline FIRST: a gate env
+    var pre-existing in the developer's/CI shell (or a compile cache traced
+    under one) would make baseline == variant and the test vacuous."""
+    import jax
+
+    monkeypatch.delenv("STORAGE_TPU_FOLD_AFFINE", raising=False)
+    monkeypatch.delenv("STORAGE_TPU_BWD_SUBTILES", raising=False)
+    jax.clear_caches()
+
+
 class TestBackwardKernelParity:
     def test_matches_xla_backward(self, scenario):
         v_x, cf_x, mu_x, sd_x, vb_x = run_backward(scenario, use_pallas=False)
@@ -129,6 +140,8 @@ class TestBackwardKernelParity:
         MORE accurate leg (NPV rel 2.0e-5 vs production 6.2e-5)."""
         import jax
 
+        _sanitize_kernel_gates(monkeypatch)
+
         v_p, cf_p, mu_p, sd_p, vb_p = run_backward(scenario, use_pallas=True)
         monkeypatch.setenv("STORAGE_TPU_FOLD_AFFINE", "1")
         jax.clear_caches()  # the env gate is read at trace time
@@ -158,6 +171,8 @@ class TestSubTiles:
     def test_two_sub_tiles_match_two_blocks(self, scenario, monkeypatch):
         import jax
 
+        _sanitize_kernel_gates(monkeypatch)
+
         v_b, cf_b, mu_b, sd_b, vb_b = run_backward(
             scenario, use_pallas=True, block_sims=128)
         monkeypatch.setenv("STORAGE_TPU_BWD_SUBTILES", "2")
@@ -181,6 +196,8 @@ class TestSubTiles:
         sub-tiling must stay a float-noise identity when the fold variant is
         the one being tiled."""
         import jax
+
+        _sanitize_kernel_gates(monkeypatch)
 
         monkeypatch.setenv("STORAGE_TPU_FOLD_AFFINE", "1")
         jax.clear_caches()
@@ -208,6 +225,8 @@ class TestSubTiles:
         noise (same 128-lane groups, same pairwise partial sums, same psum)."""
         import jax
 
+        _sanitize_kernel_gates(monkeypatch)
+
         from storage_tpu.parallel.mesh import paths_mesh
 
         reg2 = jnp.concatenate([scenario[5], scenario[5]], axis=-1)  # 400 sims
@@ -233,6 +252,8 @@ class TestSubTiles:
         """At S <= block_sims the clamp must keep the span at one tile (no
         dead-lane inflation) and reproduce the production result exactly."""
         import jax
+
+        _sanitize_kernel_gates(monkeypatch)
 
         v_b, cf_b, *_ = run_backward(scenario, use_pallas=True, block_sims=256)
         monkeypatch.setenv("STORAGE_TPU_BWD_SUBTILES", "4")
