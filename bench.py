@@ -352,7 +352,11 @@ def main() -> None:
         emit_failure("backend init")
         return
 
-    for num_sims in (1_000_000, 500_000, 250_000):
+    # The ladder bottoms out at 100k paths: the co-tenant on the shared chip
+    # has been observed holding nearly all HBM for hours with only brief free
+    # windows (Aug 18), and a GENUINE small-path measurement (vs_baseline is
+    # pro-rata by path count, so it cannot flatter) beats a stale re-emission.
+    for num_sims in (1_000_000, 500_000, 250_000, 100_000):
         # A shared chip can be transiently out of HBM while another tenant
         # holds it (observed: RESOURCE_EXHAUSTED at every path count within
         # seconds).  Retry with a wait before concluding the size is too big.
@@ -372,8 +376,11 @@ def main() -> None:
                 os.environ["STORAGE_TPU_MAX_PATH_BYTES"] = "1.5e9"
                 print(f"# {num_sims}: retrying with streamed factor paths",
                       file=sys.stderr)
-            wait_for_hbm(min_free_gb=(max(3.0, 10.0 * num_sims / 1_000_000)
-                                      if attempt < 3 else 3.0),
+            # Floor 1.5 GB (not 3): the 100k rung's materialised peak is ~2 GB
+            # and the streamed attempts cap path storage at 1.5 GB, so a 3 GB
+            # gate would skip windows those runs actually fit in.
+            wait_for_hbm(min_free_gb=(max(1.5, 10.0 * num_sims / 1_000_000)
+                                      if attempt < 3 else 1.5),
                          max_wait_s=300.0 if attempt else 600.0)
             try:
                 out = run(num_sims)

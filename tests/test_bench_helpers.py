@@ -159,6 +159,55 @@ class TestHeadlineLedger:
         assert len(names) == 2
 
 
+class TestLadderStepDown:
+    """main() must step down to the 100k rung when a co-tenant holds HBM."""
+
+    def test_steps_down_to_100k_with_pro_rata_budget(self, tmp_path,
+                                                     monkeypatch, capsys):
+        monkeypatch.setattr(bench, "LEDGER_DIR", str(tmp_path / "results"))
+        monkeypatch.setattr(bench, "wait_for_backend", lambda: True)
+        monkeypatch.setattr(bench, "wait_for_hbm", lambda **k: None)
+        monkeypatch.setattr("time.sleep", lambda s: None)
+        attempted = []
+
+        def fake_run(num_sims):
+            attempted.append(num_sims)
+            if num_sims > 100_000:
+                raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+            return {"wall": 0.5, "npv": 78_000.0, "intrinsic": 40_000.0,
+                    "fallback": False, "streamed": False}
+
+        monkeypatch.setattr(bench, "run", fake_run)
+        # The JSON line's sub-tiles field imports the engine (which needs the
+        # real jax that the FakeJax below shadows) — stub it.
+        monkeypatch.setattr(bench, "_engine_sub_tiles", lambda: 1)
+
+        class FakeJax:
+            @staticmethod
+            def device_count():
+                return 1
+
+            @staticmethod
+            def default_backend():
+                return "cpu"  # keeps the fake run out of the real ledger
+
+            @staticmethod
+            def clear_caches():
+                pass
+
+        monkeypatch.setitem(sys.modules, "jax", FakeJax())
+        bench.main()
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        # Each failing rung is retried (RESOURCE_EXHAUSTED is retryable), and
+        # the ladder must reach the new 100k rung rather than emitting stale.
+        assert attempted[-1] == 100_000
+        assert set(attempted) == {1_000_000, 500_000, 250_000, 100_000}
+        assert "100,000 paths" in out["metric"]
+        # Pro-rata: 80 s single-chip budget scaled by 0.1 path fraction.
+        assert out["vs_baseline"] == pytest.approx(8.0 / 0.5, abs=0.01)
+        assert out.get("stale") is None
+
+
 class TestEnvSubTilesParse:
     def test_typo_degrades_to_one_with_warning(self, monkeypatch, caplog):
         # A typo'd STORAGE_TPU_BWD_SUBTILES must not abort a valuation or
