@@ -146,13 +146,28 @@ LEDGER_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "benchmarks", "results")
 
 
-def _engine_sub_tiles() -> int:
+def _engine_sub_tiles():
     """The engine's crash-proof STORAGE_TPU_BWD_SUBTILES parse (single source
     of truth): a typo'd value must not abort after a successful run and leave
-    the driver without its JSON line."""
+    the driver without its JSON line.  ``"auto"`` = env unset = the engine's
+    VMEM-bounded adaptive default (the production configuration)."""
     from storage_tpu.engines.lsmc import env_sub_tiles
 
-    return env_sub_tiles()
+    v = env_sub_tiles()
+    return "auto" if v is None else v
+
+
+def _engine_fold_affine() -> bool:
+    """The engine's effective fold-affine setting (single source of truth)."""
+    from storage_tpu.engines.lsmc import env_fold_affine
+
+    return env_fold_affine()
+
+
+def _engine_fold_default() -> bool:
+    from storage_tpu.engines.lsmc import FOLD_AFFINE_DEFAULT
+
+    return FOLD_AFFINE_DEFAULT
 
 
 def record_headline(payload: dict) -> None:
@@ -333,22 +348,80 @@ def wait_for_backend(budget_s: float | None = None, probe_timeout_s: float = 240
         time.sleep(retry_sleep_s)
 
 
-def main() -> None:
-    import gc
+def leg_main(num_sims: int) -> None:
+    """One ladder leg in ONE process: wait for an HBM window, run, print the
+    result as a ``LEG_RESULT {json}`` line.  Exit code 0 iff the run finished.
 
+    Run as a subprocess of :func:`main`.  The isolation is load-bearing, not
+    cosmetic: on the shared axon chip a single RESOURCE_EXHAUSTED wedges the
+    process's TPU client for good — after one failed allocation, every later
+    allocation in the SAME process fails even while a fresh process can
+    allocate 12 GB (observed Aug 18, both directions, minutes apart; neither
+    ``jax.clear_caches()`` nor gc recovers it).  An in-process retry ladder
+    therefore burns its whole budget on a client that can never succeed.
+    """
+    import jax
+
+    # Floor 1.5 GB: the 100k rung's materialised peak is ~2 GB and streamed
+    # runs cap path storage at 1.5 GB, so a 3 GB gate would skip windows
+    # those runs actually fit in.  Streamed legs only need the floor.
+    streamed = bool(os.environ.get("STORAGE_TPU_MAX_PATH_BYTES"))
+    wait_for_hbm(
+        min_free_gb=(1.5 if streamed
+                     else max(1.5, 10.0 * num_sims / 1_000_000)),
+        max_wait_s=600.0,
+    )
+    out = run(num_sims)
+    out["num_chips"] = jax.device_count()
+    out["backend"] = jax.default_backend()
+    print("LEG_RESULT " + json.dumps(out), flush=True)
+
+
+def run_leg_subprocess(num_sims: int, streamed: bool,
+                       timeout_s: float) -> dict | None:
+    """Spawn one ladder leg in a fresh process (see :func:`leg_main` for why
+    a fresh process per attempt is mandatory on axon) and parse its result."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["STORAGE_TPU_BENCH_INIT_WAIT_S"] = "0"  # parent already gated init
+    if streamed:
+        # Force streaming factor paths — the two [m, F, S] path sets dominate
+        # the peak, and a co-tenant can hold most of HBM for hours (observed);
+        # a streamed full-path-count number (flagged "streamed" in the JSON)
+        # beats a path-count step-down.
+        env["STORAGE_TPU_MAX_PATH_BYTES"] = "1.5e9"
+    label = f"{num_sims}{' streamed' if streamed else ''}"
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--leg", str(num_sims)],
+            env=env, capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired as exc:
+        stderr = exc.stderr or ""
+        if isinstance(stderr, bytes):
+            stderr = stderr.decode(errors="replace")
+        sys.stderr.write(stderr[-2000:])
+        print(f"# leg {label} timed out after {timeout_s:.0f}s (killed)",
+              file=sys.stderr)
+        return None
+    sys.stderr.write(proc.stderr)
+    if proc.returncode != 0:
+        print(f"# leg {label} failed (rc={proc.returncode}): "
+              + (proc.stderr.strip().splitlines() or ["<no stderr>"])[-1],
+              file=sys.stderr)
+        return None
+    for line in reversed(proc.stdout.strip().splitlines()):
+        if line.startswith("LEG_RESULT "):
+            return json.loads(line[len("LEG_RESULT "):])
+    print(f"# leg {label} exited 0 without a LEG_RESULT line", file=sys.stderr)
+    return None
+
+
+def main() -> None:
     if not wait_for_backend():
         # A dead tunnel (observed: "Unable to initialize backend 'axon':
         # UNAVAILABLE") must still yield the one JSON line the driver parses.
-        emit_failure("backend init")
-        return
-
-    import jax
-
-    try:
-        num_chips = jax.device_count()
-    except Exception as exc:  # noqa: BLE001 - backend outage
-        print(f"# backend init failed: {type(exc).__name__}: {exc}",
-              file=sys.stderr)
         emit_failure("backend init")
         return
 
@@ -356,58 +429,27 @@ def main() -> None:
     # has been observed holding nearly all HBM for hours with only brief free
     # windows (Aug 18), and a GENUINE small-path measurement (vs_baseline is
     # pro-rata by path count, so it cannot flatter) beats a stale re-emission.
+    # Each leg runs in a FRESH subprocess: one RESOURCE_EXHAUSTED wedges the
+    # axon client for the life of its process (see leg_main), so retries and
+    # step-downs only work across process boundaries.  Two attempts per size:
+    # materialised paths, then streamed (unless the whole run is already
+    # forced streamed via the env, in which case both attempts stream).
+    out = None
     for num_sims in (1_000_000, 500_000, 250_000, 100_000):
-        # A shared chip can be transiently out of HBM while another tenant
-        # holds it (observed: RESOURCE_EXHAUSTED at every path count within
-        # seconds).  Retry with a wait before concluding the size is too big.
-        out = None
-        for attempt in range(4):
-            # Drop every device buffer a previous failed attempt may still
-            # pin (exception tracebacks hold frames; jit caches hold donated
-            # aliases) — without this, a failed 1M warm-up makes the 250k
-            # step-down fail on a chip that would fit it fresh.
-            gc.collect()
-            jax.clear_caches()
-            # Last attempt: force streaming factor paths — the two [m, F, S]
-            # path sets dominate the peak, and a co-tenant can hold most of
-            # HBM for hours (observed); a streamed full-path-count number
-            # (flagged "streamed" in the JSON) beats a path-count step-down.
-            if attempt == 3:
-                os.environ["STORAGE_TPU_MAX_PATH_BYTES"] = "1.5e9"
-                print(f"# {num_sims}: retrying with streamed factor paths",
-                      file=sys.stderr)
-            # Floor 1.5 GB (not 3): the 100k rung's materialised peak is ~2 GB
-            # and the streamed attempts cap path storage at 1.5 GB, so a 3 GB
-            # gate would skip windows those runs actually fit in.
-            wait_for_hbm(min_free_gb=(max(1.5, 10.0 * num_sims / 1_000_000)
-                                      if attempt < 3 else 1.5),
-                         max_wait_s=300.0 if attempt else 600.0)
-            try:
-                out = run(num_sims)
+        for streamed_leg in (False, True):
+            out = run_leg_subprocess(
+                num_sims, streamed_leg,
+                timeout_s=2400.0 if num_sims >= 1_000_000 else 1500.0,
+            )
+            if out is not None:
                 break
-            except Exception as exc:  # noqa: BLE001 - OOM fallbacks
-                print(
-                    f"# {num_sims} paths attempt {attempt + 1} failed: "
-                    f"{type(exc).__name__}: {exc}",
-                    file=sys.stderr,
-                )
-                # RESOURCE_EXHAUSTED: another tenant transiently holds HBM.
-                # FAILED_PRECONDITION: the shared chip is wedged after an
-                # aborted run; both recover with a wait (observed on axon).
-                if not any(
-                    s in str(exc)
-                    for s in ("RESOURCE_EXHAUSTED", "FAILED_PRECONDITION")
-                ):
-                    break
-                time.sleep(60)
-            finally:
-                if attempt == 3:
-                    os.environ.pop("STORAGE_TPU_MAX_PATH_BYTES", None)
+            time.sleep(30)
         if out is not None:
             break
     else:
         emit_failure("all path counts failed")
         return
+    num_chips = out["num_chips"]
 
     # Pro-rata budget: the north star is 1M paths in 10 s on 8 chips, so the
     # per-chip budget scales by chip fraction AND by the path count actually
@@ -431,21 +473,26 @@ def main() -> None:
         "fallback": out["fallback"],
         "streamed": out["streamed"],
         # THE SAME PARSES as the engine gates (lsmc.py) so the record can't
-        # claim an experimental kernel for e.g. "0" or a typo'd integer.
-        "fold_affine": os.environ.get("STORAGE_TPU_FOLD_AFFINE", "") == "1",
+        # claim a non-default kernel for e.g. a typo'd value.
+        "fold_affine": _engine_fold_affine(),
         "bwd_sub_tiles": _engine_sub_tiles(),
     }
-    # Only genuine PRODUCTION-kernel TPU measurements enter the ledger (CPU
-    # smoke runs pass `STORAGE_TPU_BENCH_INIT_WAIT_S=0` and run tiny configs;
-    # experimental-gate legs are candidates, not headlines — recording either
-    # would let an outage promote a meaningless or unlabeled-experimental
-    # number as the stale fallback).
-    if (jax.default_backend() != "cpu" and not line["fold_affine"]
-            and line["bwd_sub_tiles"] == 1):
+    # Only genuine PRODUCTION-DEFAULT-kernel TPU measurements enter the
+    # ledger (CPU smoke runs pass `STORAGE_TPU_BENCH_INIT_WAIT_S=0` and run
+    # tiny configs; non-default-gate legs are candidates, not headlines —
+    # recording either would let an outage promote a meaningless or
+    # unlabeled-experimental number as the stale fallback).  The fold-affine
+    # kernel IS the production default since Aug 18 (see lsmc.py).
+    if (out["backend"] != "cpu"
+            and line["fold_affine"] == _engine_fold_default()
+            and line["bwd_sub_tiles"] == "auto"):
         record_headline({**line, "npv": out["npv"], "num_sims": num_sims,
                          "num_chips": num_chips})
     print(json.dumps(line))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--leg":
+        leg_main(int(sys.argv[2]))
+    else:
+        main()

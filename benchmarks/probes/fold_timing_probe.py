@@ -1,4 +1,4 @@
-"""Backward-phase wall-clock: production kernel vs STORAGE_TPU_FOLD_AFFINE=1.
+"""Backward-phase wall-clock: broadcast kernel (FOLD_AFFINE=0) vs fold (=1).
 
 VERDICT r4 item 2's measurement harness: the clean affine-fold variant
 (exact-f32 cwa-sourced, 3-term colB / 2-term colB1 in-kernel splits) must
@@ -37,7 +37,7 @@ def main() -> None:
     blk = pick_backward_block(S, G)
 
     def run_leg(label, fold):
-        os.environ["STORAGE_TPU_FOLD_AFFINE"] = "1" if fold else ""
+        os.environ["STORAGE_TPU_FOLD_AFFINE"] = "1" if fold else "0"
         jax.clear_caches()  # env gate is read at trace time
 
         interpret = jax.default_backend() != "tpu"  # CPU smoke runs interpret

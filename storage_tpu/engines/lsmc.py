@@ -55,19 +55,66 @@ NUM_TRIGGER_VOLUMES = 10  # reference numTriggerPriceVolumes (LsmcStorageValuati
 BACKWARD_PCNT_TIME = 0.66  # reference progress weighting (LsmcStorageValuation.cs:46)
 
 
-def env_sub_tiles() -> int:
-    """Parse ``STORAGE_TPU_BWD_SUBTILES`` crash-proof (like the ``== "1"``
-    string gates): a typo must degrade to the production kernel with a
-    warning, not abort a valuation — or worse, kill the bench harness
-    before it prints the one JSON line the driver parses."""
-    raw = os.environ.get("STORAGE_TPU_BWD_SUBTILES", "1")
+def env_sub_tiles() -> int | None:
+    """Parse ``STORAGE_TPU_BWD_SUBTILES`` crash-proof (like the string
+    gates): a typo must degrade to the adaptive default with a warning, not
+    abort a valuation — or worse, kill the bench harness before it prints
+    the one JSON line the driver parses.  Returns ``None`` when unset (the
+    engine then picks :func:`auto_sub_tiles`)."""
+    raw = os.environ.get("STORAGE_TPU_BWD_SUBTILES")
+    if raw is None:
+        return None
     try:
         return max(1, int(raw))
     except ValueError:
         logging.getLogger(__name__).warning(
-            "STORAGE_TPU_BWD_SUBTILES=%r is not an integer; using 1", raw
+            "STORAGE_TPU_BWD_SUBTILES=%r is not an integer; using the "
+            "adaptive default", raw
         )
-        return 1
+        return None
+
+
+def auto_sub_tiles(block_sims: int, num_grid_points: int) -> int:
+    """VMEM-bounded default for the backward kernel's dispatch amortisation.
+
+    Sub-tiling widens the kernel's VMEM block to ``block_sims * sub_tiles``
+    lanes (every vector op stays ``block_sims`` wide) so the per-grid-step
+    fixed overhead — DMA descriptors, semaphores, scalar prologue — is paid
+    once per ``sub_tiles`` compute tiles.  Hardware ladder (Aug 18, 1M paths
+    x 341 steps, G=100, fold-affine kernel): 1 tile 1.540 s, 2 tiles
+    1.482 s, 4 tiles 1.462 s; gains saturate there, and the Mosaic scoped
+    VMEM STACK (16 MB) overflows at span x G ~ 8192 x 100 ("Scoped
+    allocation with size 18.79M ... exceeded scoped vmem limit"), so the
+    span is capped at span x G <= 409,600 lane-gridpoints — the measured
+    4096 x 100 point with ~2.3x stack headroom — and at 4 tiles (the
+    saturation knee)."""
+    span_cap = max(block_sims, 409_600 // max(num_grid_points, 1))
+    return max(1, min(4, span_cap // block_sims))
+
+
+#: The affine-fold backward kernel (per-decision immediate economics riding
+#: the existing bf16 actual-surface MXU passes, affine sourced from the
+#: exact-f32 ``cwa`` columns) is the PRODUCTION default since it measured
+#: both more accurate and faster than the broadcast path on real hardware
+#: (Aug 18: NPV rel vs f64 golden 5.49e-5 vs 7.32e-5; backward 1M x 341
+#: wall 1.546 s vs 1.591 s).  ``STORAGE_TPU_FOLD_AFFINE=0`` reverts to the
+#: broadcast path.
+FOLD_AFFINE_DEFAULT = True
+
+
+def env_fold_affine() -> bool:
+    """Effective fold-affine kernel setting (crash-proof env parse)."""
+    raw = os.environ.get("STORAGE_TPU_FOLD_AFFINE", "")
+    if raw == "0":
+        return False
+    if raw == "1":
+        return True
+    if raw:
+        logging.getLogger(__name__).warning(
+            "STORAGE_TPU_FOLD_AFFINE=%r is not 0/1; using default %s",
+            raw, FOLD_AFFINE_DEFAULT,
+        )
+    return FOLD_AFFINE_DEFAULT
 
 
 class ValuationCancelledError(StorageError):
@@ -363,19 +410,22 @@ def backward_scan_pallas(
     """
     from ..ops.pallas_backward import assemble_regression, pallas_backward_update
 
-    # Experimental serial-path optimisation (VERDICT r4 item 2): ride the
-    # per-decision affine economics through the existing bf16 actual-surface
-    # MXU passes, sourced from the exact-f32 cwa columns (the variant the
-    # round-3 bisection measured clean).  Gated until the chip measurement
-    # confirms accuracy + speedup; see ops/pallas_backward.py.
-    fold_affine = os.environ.get("STORAGE_TPU_FOLD_AFFINE", "") == "1"
-    # Experimental dispatch-overhead amortisation: widen the kernel's VMEM
-    # block to N compute tiles (every vector op stays at the measured-safe
-    # block_sims width) so the per-grid-step fixed overhead is paid once per
-    # N tiles.  Gated until the chip measures it; see ops/pallas_backward.py.
-    sub_tiles = env_sub_tiles()
-
+    # Serial-path optimisation (VERDICT r4 item 2): ride the per-decision
+    # affine economics through the existing bf16 actual-surface MXU passes,
+    # sourced from the exact-f32 cwa columns (the variant the round-3
+    # bisection measured clean).  Hardware-measured more accurate AND faster
+    # than the broadcast path, so it is the default; see env_fold_affine and
+    # ops/pallas_backward.py.
+    fold_affine = env_fold_affine()
     G = num_grid_points
+    # Dispatch-overhead amortisation: widen the kernel's VMEM block to N
+    # compute tiles (every vector op stays at the measured-safe block_sims
+    # width) so the per-grid-step fixed overhead is paid once per N tiles.
+    # Default is the VMEM-bounded adaptive pick (see auto_sub_tiles);
+    # STORAGE_TPU_BWD_SUBTILES overrides.
+    sub_tiles = env_sub_tiles()
+    if sub_tiles is None:
+        sub_tiles = auto_sub_tiles(block_sims, G)
     S = v_init.shape[0]
     m = factors.shape[0]
     ndev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))

@@ -166,61 +166,78 @@ class TestLadderStepDown:
                                                      monkeypatch, capsys):
         monkeypatch.setattr(bench, "LEDGER_DIR", str(tmp_path / "results"))
         monkeypatch.setattr(bench, "wait_for_backend", lambda: True)
-        monkeypatch.setattr(bench, "wait_for_hbm", lambda **k: None)
         monkeypatch.setattr("time.sleep", lambda s: None)
+        monkeypatch.setattr(bench, "_engine_sub_tiles", lambda: 1)
         attempted = []
 
-        def fake_run(num_sims):
-            attempted.append(num_sims)
+        # Each leg is a fresh subprocess in production (one RESOURCE_EXHAUSTED
+        # wedges the axon client for the life of its process); the ladder
+        # logic under test is the parent's step-down over (size, streamed).
+        def fake_leg(num_sims, streamed, timeout_s):
+            attempted.append((num_sims, streamed))
             if num_sims > 100_000:
-                raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+                return None
             return {"wall": 0.5, "npv": 78_000.0, "intrinsic": 40_000.0,
-                    "fallback": False, "streamed": False}
+                    "fallback": False, "streamed": streamed,
+                    "num_chips": 1, "backend": "cpu"}
 
-        monkeypatch.setattr(bench, "run", fake_run)
-        # The JSON line's sub-tiles field imports the engine (which needs the
-        # real jax that the FakeJax below shadows) — stub it.
-        monkeypatch.setattr(bench, "_engine_sub_tiles", lambda: 1)
-
-        class FakeJax:
-            @staticmethod
-            def device_count():
-                return 1
-
-            @staticmethod
-            def default_backend():
-                return "cpu"  # keeps the fake run out of the real ledger
-
-            @staticmethod
-            def clear_caches():
-                pass
-
-        monkeypatch.setitem(sys.modules, "jax", FakeJax())
+        monkeypatch.setattr(bench, "run_leg_subprocess", fake_leg)
         bench.main()
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-        # Each failing rung is retried (RESOURCE_EXHAUSTED is retryable), and
-        # the ladder must reach the new 100k rung rather than emitting stale.
-        assert attempted[-1] == 100_000
-        assert set(attempted) == {1_000_000, 500_000, 250_000, 100_000}
+        # Every failing rung tries materialised then streamed, and the ladder
+        # must reach the new 100k rung rather than emitting stale.
+        assert attempted[-1] == (100_000, False)
+        assert set(attempted) == {
+            (n, s) for n in (1_000_000, 500_000, 250_000) for s in (False, True)
+        } | {(100_000, False)}
         assert "100,000 paths" in out["metric"]
         # Pro-rata: 80 s single-chip budget scaled by 0.1 path fraction.
         assert out["vs_baseline"] == pytest.approx(8.0 / 0.5, abs=0.01)
         assert out.get("stale") is None
 
+    def test_leg_main_emits_parseable_result_line(self, monkeypatch, capsys):
+        # leg_main is the subprocess half of the ladder: it must print one
+        # LEG_RESULT line the parent can parse, with chip provenance attached.
+        monkeypatch.setattr(bench, "wait_for_hbm", lambda **k: None)
+        monkeypatch.setattr(bench, "run", lambda n: {
+            "wall": 0.25, "npv": 1.0, "intrinsic": 0.5,
+            "fallback": False, "streamed": False})
+        bench.leg_main(1_000)
+        lines = [ln for ln in capsys.readouterr().out.splitlines()
+                 if ln.startswith("LEG_RESULT ")]
+        assert len(lines) == 1
+        out = json.loads(lines[0][len("LEG_RESULT "):])
+        assert out["wall"] == 0.25
+        assert out["backend"] == "cpu"
+        assert out["num_chips"] >= 1
+
 
 class TestEnvSubTilesParse:
-    def test_typo_degrades_to_one_with_warning(self, monkeypatch, caplog):
+    def test_typo_degrades_to_default_with_warning(self, monkeypatch, caplog):
         # A typo'd STORAGE_TPU_BWD_SUBTILES must not abort a valuation or
         # kill the bench before its one driver-parsed JSON line.
         from storage_tpu.engines.lsmc import env_sub_tiles
 
         monkeypatch.setenv("STORAGE_TPU_BWD_SUBTILES", "4x")
         with caplog.at_level("WARNING"):
-            assert env_sub_tiles() == 1
+            assert env_sub_tiles() is None  # adaptive default
         assert any("4x" in r.getMessage() for r in caplog.records)
         monkeypatch.setenv("STORAGE_TPU_BWD_SUBTILES", "4")
         assert env_sub_tiles() == 4
         monkeypatch.setenv("STORAGE_TPU_BWD_SUBTILES", "0")
         assert env_sub_tiles() == 1  # floor at one tile
         monkeypatch.delenv("STORAGE_TPU_BWD_SUBTILES")
-        assert env_sub_tiles() == 1
+        assert env_sub_tiles() is None
+
+    def test_auto_sub_tiles_is_vmem_bounded(self):
+        from storage_tpu.engines.lsmc import auto_sub_tiles
+
+        # Hardware-measured knee: 4 tiles at the bench shape (block 1024,
+        # G=100 -> span 4096, ~2.3x VMEM-stack headroom vs the 8192 OOM).
+        assert auto_sub_tiles(1024, 100) == 4
+        # Larger grids shrink the span cap (span x G <= 409,600).
+        assert auto_sub_tiles(1024, 200) == 2
+        assert auto_sub_tiles(1024, 500) == 1
+        # Never below one tile, never above the saturation knee.
+        assert auto_sub_tiles(1024, 10_000) == 1
+        assert auto_sub_tiles(128, 10) == 4

@@ -81,11 +81,14 @@ def run_backward(scenario, use_pallas, block_sims=None, reg=None, mesh=None):
 def _sanitize_kernel_gates(monkeypatch):
     """The kernel-variant A/B tests compute their baseline FIRST: a gate env
     var pre-existing in the developer's/CI shell (or a compile cache traced
-    under one) would make baseline == variant and the test vacuous."""
+    under one) would make baseline == variant and the test vacuous.  Sub-tiles
+    are PINNED to the single-tile baseline (env unset now means the adaptive
+    VMEM-bounded default, which is multi-tile at these shapes — each A/B leg
+    sets the count it is testing explicitly)."""
     import jax
 
     monkeypatch.delenv("STORAGE_TPU_FOLD_AFFINE", raising=False)
-    monkeypatch.delenv("STORAGE_TPU_BWD_SUBTILES", raising=False)
+    monkeypatch.setenv("STORAGE_TPU_BWD_SUBTILES", "1")
     jax.clear_caches()
 
 
@@ -130,21 +133,25 @@ class TestBackwardKernelParity:
         assert np.quantile(rel, 0.995) < 1e-4
         assert rel.max() < 0.02
 
-    def test_fold_affine_matches_production_kernel(self, scenario, monkeypatch):
-        """STORAGE_TPU_FOLD_AFFINE=1 (affine economics folded into the bf16
-        MXU passes, sourced from the exact-f32 cwa columns) must track the
-        production kernel: the fitted totals that drive every argmax are
-        bit-identical, so differences are pure actual-value arithmetic
-        (3-term colB / 2-term colB1 splits) plus downstream regression
-        feedback.  Measured vs an f64 golden at 4096 sims the fold is the
-        MORE accurate leg (NPV rel 2.0e-5 vs production 6.2e-5)."""
+    def test_fold_affine_matches_broadcast_kernel(self, scenario, monkeypatch):
+        """The fold-affine kernel (affine economics folded into the bf16
+        MXU passes, sourced from the exact-f32 cwa columns — the PRODUCTION
+        default since the Aug-18 hardware measurement) must track the
+        broadcast kernel (``STORAGE_TPU_FOLD_AFFINE=0``): the fitted totals
+        that drive every argmax are bit-identical, so differences are pure
+        actual-value arithmetic (3-term colB / 2-term colB1 splits) plus
+        downstream regression feedback.  Measured vs an f64 golden at 4096
+        sims the fold is the MORE accurate leg (NPV rel 2.0e-5 interpret /
+        5.5e-5 hardware vs broadcast 6.2e-5 / 7.3e-5)."""
         import jax
 
         _sanitize_kernel_gates(monkeypatch)
 
+        monkeypatch.setenv("STORAGE_TPU_FOLD_AFFINE", "0")
+        jax.clear_caches()  # the env gate is read at trace time
         v_p, cf_p, mu_p, sd_p, vb_p = run_backward(scenario, use_pallas=True)
         monkeypatch.setenv("STORAGE_TPU_FOLD_AFFINE", "1")
-        jax.clear_caches()  # the env gate is read at trace time
+        jax.clear_caches()
         v_f, cf_f, mu_f, sd_f, vb_f = run_backward(scenario, use_pallas=True)
         jax.clear_caches()
         np.testing.assert_allclose(np.asarray(mu_f), np.asarray(mu_p), rtol=1e-6)
