@@ -78,7 +78,7 @@ def build_case():
     return storage, fwd_curve, ir_curve, settlement_rule
 
 
-def run(num_sims: int) -> dict:
+def run(num_sims: int, chunked: bool = False) -> dict:
     from storage_tpu import three_factor_seasonal_value
 
     storage, fwd_curve, ir_curve, settlement_rule = build_case()
@@ -112,17 +112,24 @@ def run(num_sims: int) -> dict:
     # exception is logged and the fallback surfaced in the JSON so a real
     # whole-horizon-program regression cannot hide as a slower number.
     sink = None
-    fallback = False
+    fallback = chunked
     streamed = bool(os.environ.get("STORAGE_TPU_MAX_PATH_BYTES"))
-    try:
-        results = once(seed=12)
-    except Exception as exc:  # noqa: BLE001 - chunked-driver fallback
-        print(
-            f"# whole-horizon warm-up failed, falling back to chunked driver: "
-            f"{type(exc).__name__}: {exc}",
-            file=sys.stderr,
-        )
-        fallback = True
+    if not chunked:
+        try:
+            results = once(seed=12)
+        except Exception as exc:  # noqa: BLE001 - chunked-driver fallback
+            # NOTE: on the axon backend this in-process fallback cannot
+            # succeed after a RESOURCE_EXHAUSTED — the failed allocation
+            # wedges the process's TPU client for good (observed Aug 18),
+            # which is why main()'s ladder also runs an explicit chunked leg
+            # in a FRESH subprocess.  Kept for non-axon backends and for
+            # genuinely transient whole-horizon compile failures.
+            print(
+                f"# whole-horizon warm-up failed, falling back to chunked "
+                f"driver: {type(exc).__name__}: {exc}",
+                file=sys.stderr,
+            )
+            fallback = True
     if fallback:
         # Run the fallback OUTSIDE the except block: the caught exception's
         # traceback pins the failed attempt's frames (and with them several
@@ -348,7 +355,7 @@ def wait_for_backend(budget_s: float | None = None, probe_timeout_s: float = 240
         time.sleep(retry_sleep_s)
 
 
-def leg_main(num_sims: int) -> None:
+def leg_main(num_sims: int, chunked: bool = False) -> None:
     """One ladder leg in ONE process: wait for an HBM window, run, print the
     result as a ``LEG_RESULT {json}`` line.  Exit code 0 iff the run finished.
 
@@ -371,14 +378,14 @@ def leg_main(num_sims: int) -> None:
                      else max(1.5, 10.0 * num_sims / 1_000_000)),
         max_wait_s=600.0,
     )
-    out = run(num_sims)
+    out = run(num_sims, chunked=chunked)
     out["num_chips"] = jax.device_count()
     out["backend"] = jax.default_backend()
     print("LEG_RESULT " + json.dumps(out), flush=True)
 
 
-def run_leg_subprocess(num_sims: int, streamed: bool,
-                       timeout_s: float) -> dict | None:
+def run_leg_subprocess(num_sims: int, streamed: bool, timeout_s: float,
+                       chunked: bool = False) -> dict | None:
     """Spawn one ladder leg in a fresh process (see :func:`leg_main` for why
     a fresh process per attempt is mandatory on axon) and parse its result."""
     import subprocess
@@ -391,11 +398,14 @@ def run_leg_subprocess(num_sims: int, streamed: bool,
         # a streamed full-path-count number (flagged "streamed" in the JSON)
         # beats a path-count step-down.
         env["STORAGE_TPU_MAX_PATH_BYTES"] = "1.5e9"
-    label = f"{num_sims}{' streamed' if streamed else ''}"
+    label = (f"{num_sims}{' chunked' if chunked else ''}"
+             f"{' streamed' if streamed else ''}")
+    cmd = [sys.executable, os.path.abspath(__file__), "--leg", str(num_sims)]
+    if chunked:
+        cmd.append("chunked")
     try:
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--leg", str(num_sims)],
-            env=env, capture_output=True, text=True, timeout=timeout_s,
+            cmd, env=env, capture_output=True, text=True, timeout=timeout_s,
         )
     except subprocess.TimeoutExpired as exc:
         stderr = exc.stderr or ""
@@ -430,16 +440,20 @@ def main() -> None:
     # windows (Aug 18), and a GENUINE small-path measurement (vs_baseline is
     # pro-rata by path count, so it cannot flatter) beats a stale re-emission.
     # Each leg runs in a FRESH subprocess: one RESOURCE_EXHAUSTED wedges the
-    # axon client for the life of its process (see leg_main), so retries and
-    # step-downs only work across process boundaries.  Two attempts per size:
-    # materialised paths, then streamed (unless the whole run is already
-    # forced streamed via the env, in which case both attempts stream).
+    # axon client for the life of its process (see leg_main), so retries,
+    # the chunked-driver fallback and step-downs only work across process
+    # boundaries.  Three attempts per size: whole-horizon materialised,
+    # chunked-driver materialised (lower transient workspace), then streamed
+    # (unless the whole run is already forced streamed via the env, in which
+    # case every attempt streams).
     out = None
     for num_sims in (1_000_000, 500_000, 250_000, 100_000):
-        for streamed_leg in (False, True):
+        for chunked_leg, streamed_leg in ((False, False), (True, False),
+                                          (False, True)):
             out = run_leg_subprocess(
                 num_sims, streamed_leg,
                 timeout_s=2400.0 if num_sims >= 1_000_000 else 1500.0,
+                chunked=chunked_leg,
             )
             if out is not None:
                 break
@@ -493,6 +507,6 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--leg":
-        leg_main(int(sys.argv[2]))
+        leg_main(int(sys.argv[2]), chunked="chunked" in sys.argv[3:])
     else:
         main()

@@ -172,24 +172,26 @@ class TestLadderStepDown:
 
         # Each leg is a fresh subprocess in production (one RESOURCE_EXHAUSTED
         # wedges the axon client for the life of its process); the ladder
-        # logic under test is the parent's step-down over (size, streamed).
-        def fake_leg(num_sims, streamed, timeout_s):
-            attempted.append((num_sims, streamed))
+        # logic under test is the parent's step-down over
+        # (size, chunked, streamed).
+        def fake_leg(num_sims, streamed, timeout_s, chunked=False):
+            attempted.append((num_sims, chunked, streamed))
             if num_sims > 100_000:
                 return None
             return {"wall": 0.5, "npv": 78_000.0, "intrinsic": 40_000.0,
-                    "fallback": False, "streamed": streamed,
+                    "fallback": chunked, "streamed": streamed,
                     "num_chips": 1, "backend": "cpu"}
 
         monkeypatch.setattr(bench, "run_leg_subprocess", fake_leg)
         bench.main()
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-        # Every failing rung tries materialised then streamed, and the ladder
-        # must reach the new 100k rung rather than emitting stale.
-        assert attempted[-1] == (100_000, False)
+        # Every failing rung tries whole-horizon, chunked, then streamed, and
+        # the ladder must reach the new 100k rung rather than emitting stale.
+        assert attempted[-1] == (100_000, False, False)
         assert set(attempted) == {
-            (n, s) for n in (1_000_000, 500_000, 250_000) for s in (False, True)
-        } | {(100_000, False)}
+            (n, c, s) for n in (1_000_000, 500_000, 250_000)
+            for c, s in ((False, False), (True, False), (False, True))
+        } | {(100_000, False, False)}
         assert "100,000 paths" in out["metric"]
         # Pro-rata: 80 s single-chip budget scaled by 0.1 path fraction.
         assert out["vs_baseline"] == pytest.approx(8.0 / 0.5, abs=0.01)
@@ -199,9 +201,9 @@ class TestLadderStepDown:
         # leg_main is the subprocess half of the ladder: it must print one
         # LEG_RESULT line the parent can parse, with chip provenance attached.
         monkeypatch.setattr(bench, "wait_for_hbm", lambda **k: None)
-        monkeypatch.setattr(bench, "run", lambda n: {
+        monkeypatch.setattr(bench, "run", lambda n, chunked=False: {
             "wall": 0.25, "npv": 1.0, "intrinsic": 0.5,
-            "fallback": False, "streamed": False})
+            "fallback": chunked, "streamed": False})
         bench.leg_main(1_000)
         lines = [ln for ln in capsys.readouterr().out.splitlines()
                  if ln.startswith("LEG_RESULT ")]
