@@ -364,7 +364,7 @@ def backward_scan(
     jax.jit,
     static_argnames=(
         "spec", "interp_kind", "num_grid_points", "extra_decisions",
-        "block_sims", "interpret", "mesh",
+        "block_sims", "interpret", "mesh", "true_sims",
     ),
 )
 def backward_scan_pallas(
@@ -391,6 +391,7 @@ def backward_scan_pallas(
     block_sims: int,
     interpret: bool = False,
     mesh=None,
+    true_sims: Optional[int] = None,
 ):
     """:func:`backward_scan` with the value update fused into the Pallas
     kernel (:mod:`storage_tpu.ops.pallas_backward`).
@@ -426,7 +427,9 @@ def backward_scan_pallas(
     sub_tiles = env_sub_tiles()
     if sub_tiles is None:
         sub_tiles = auto_sub_tiles(block_sims, G)
-    S = v_init.shape[0]
+    W_v = v_init.shape[0]  # incoming value-surface width (maybe pre-padded)
+    W_f = factors.shape[-1]  # incoming factor width (maybe pre-padded)
+    S = W_v if true_sims is None else true_sims  # true (unpadded) sims
     m = factors.shape[0]
     ndev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
     true_local = S // ndev
@@ -436,13 +439,21 @@ def backward_scan_pallas(
     # sums) — to the full VMEM span so the kernel wrapper never re-pads the
     # carry per step.  Under a mesh the padding must be per shard, so the
     # carry stays unpadded and the shard-local kernel wrapper pads (a tiny
-    # per-step copy).
+    # per-step copy).  Callers that can should pass factors/v_init ALREADY
+    # padded to the span multiple (with ``true_sims`` set): the in-program
+    # pad below materialises a second full copy of the path set — at 1M
+    # paths 4.1 GB of avoidable HBM peak (see simulate_factor_paths(pad_to)).
+    # v_init and factors may arrive at DIFFERENT widths (e.g. the span loop
+    # feeds pre-padded factor chunks while the first v_end is unpadded);
+    # each is padded to the common aligned width independently, and the
+    # result is returned at v_init's width so multi-span callers never
+    # slice-and-re-pad the carry between spans.
     span = block_sims * min(sub_tiles, max(1, -(-true_local // block_sims)))
-    S_pad = (-(-S // span) * span) if mesh is None else S
-    v_t = jnp.pad(v_init.T, ((0, 0), (0, S_pad - S))) if S_pad != S else v_init.T
+    S_pad = (-(-max(W_v, W_f) // span) * span) if mesh is None else W_v
+    v_t = jnp.pad(v_init.T, ((0, 0), (0, S_pad - W_v))) if S_pad != W_v else v_init.T
     factors_t = factors  # [m, F, S]
-    if S_pad != S:
-        factors_t = jnp.pad(factors, ((0, 0), (0, 0), (0, S_pad - S)))
+    if S_pad != W_f:
+        factors_t = jnp.pad(factors, ((0, 0), (0, 0), (0, S_pad - W_f)))
 
     def step_geometry(grid, lo, hi, pil, lo_r, ic, wc, ci, cw, icr, dfs, df0):
         """Per-period decision geometry: interp matrices + affine economics.
@@ -550,8 +561,9 @@ def backward_scan_pallas(
     )
 
     # Hoisted latest period (k = m-1): its regression has no kernel partials
-    # yet, so solve it the XLA way once per scan span.
-    vbar0 = jnp.mean(v_init, axis=0)
+    # yet, so solve it the XLA way once per scan span.  All reductions here
+    # run over the TRUE sims only (padded lanes are sliced away).
+    vbar0 = jnp.mean(v_init[:S] if W_v != S else v_init, axis=0)
     f_last = factors_t[m - 1][:, :S] if S_pad != S else factors_t[m - 1]
     spot = spot_from_factors(f_last, sim_vols[m - 1], sim_drift[m - 1])
     X = design_matrix(spec, spot, f_last)
@@ -599,7 +611,9 @@ def backward_scan_pallas(
         coeffs_all, mu_all = coeffs0[None], mu0[None]
         sd_all, vbar_all = sd0[None], vbar0[None]
 
-    v_final = (v_final_t[:, :S] if S_pad != S else v_final_t).T
+    # Return at the INPUT width (W_v): multi-span drivers keep the carry
+    # padded end-to-end and slice to the true sims once at the very end.
+    v_final = (v_final_t[:, :W_v] if S_pad != W_v else v_final_t).T
     return v_final, coeffs_all, mu_all, sd_all, vbar_all
 
 
@@ -988,16 +1002,37 @@ def _check_forward_health(pv, inv_final, backward_npv) -> None:
 
 
 def _overflow_safe_spans(
-    num_steps: int, num_sims: int, num_grid: int, pallas: bool = False
+    num_steps: int, num_sims: int, num_grid: int, pallas: bool = False,
+    max_steps_cap: Optional[int] = None,
 ) -> List[Tuple[int, int]]:
     budget = _MAX_SCAN_ELEMENTS_PALLAS if pallas else _MAX_SCAN_ELEMENTS
     per_step = max(1, num_sims * num_grid)
     max_steps = max(1, budget // per_step)
+    if max_steps_cap is not None:
+        max_steps = min(max_steps, max(1, max_steps_cap))
     num_chunks = -(-num_steps // max_steps)
     return _chunk_bounds(num_steps, num_chunks)
 
+
+def _backward_span_cap(num_factors: int, width: int, itemsize: int) -> Optional[int]:
+    """HBM-peak cap on the backward scan's span length, in steps.
+
+    XLA copy-insertion materialises one copy of everything a ``while`` carry
+    references that comes from a read-only parameter — for a whole-horizon
+    span that is the entire ``[m, F, S]`` path set (4.1 GB at 1M paths; the
+    round-3/4 whole-horizon OOM).  Capping the span so each scan's carry
+    slice stays under ``STORAGE_TPU_BWD_SPAN_BYTES`` (default 1.25 GB) keeps
+    the backward induction ONE XLA program (no host syncs between spans)
+    while bounding the transient copy.  Small path counts never split.
+    """
+    span_bytes = float(os.environ.get("STORAGE_TPU_BWD_SPAN_BYTES", 1.25e9))
+    if span_bytes <= 0:  # escape hatch: 0 disables the cap
+        return None
+    per_step = max(1, num_factors * width * itemsize)
+    return max(16, int(span_bytes // per_step))
+
 def _backward_program(
-    reg_factors,  # [m, F, S] simulated periods only
+    reg_factors,  # [m, F, S] simulated periods only (S may be lane-padded)
     sim_vols,  # [m, F]
     sim_drift,  # [m]
     dev: LsmcDeviceInputs,
@@ -1010,6 +1045,7 @@ def _backward_program(
     pallas: Optional[Tuple[int, bool]] = None,
     mesh=None,
     quantize_weights: bool = False,
+    true_sims: Optional[int] = None,
 ):
     """Backward induction as one XLA program.
 
@@ -1021,7 +1057,13 @@ def _backward_program(
     shard_map'd over ``mesh`` when one is given.
     """
     G = num_grid_points
-    num_sims = reg_factors.shape[-1]
+    num_sims = reg_factors.shape[-1]  # incoming width (maybe lane-padded)
+    S_true = num_sims if true_sims is None else true_sims
+    if S_true != num_sims and pallas is None:
+        raise ValueError(
+            "pre-padded factor paths (true_sims < width) require the Pallas "
+            "route — the XLA backward scan reduces over every lane"
+        )
     dtype = reg_factors.dtype
     n = reg_factors.shape[0] - 1 + (1 if val_first else 0)  # total decision steps
 
@@ -1031,15 +1073,23 @@ def _backward_program(
     )
 
     # Terminal values on the end-period grid (reference :107-128), computed on
-    # the regression path set like the backward induction itself.
+    # the regression path set like the backward induction itself.  Padded
+    # lanes carry zeros (never a user terminal_fn's value at the padded
+    # lanes' meaningless spots — that could be NaN and poison masked sums).
     if terminal_fn is None:
         v_end = jnp.zeros((num_sims, G), dtype=dtype)
     else:
-        end_spots = spot_from_factors(reg_factors[-1], sim_vols[-1], sim_drift[-1])
+        end_f = (
+            reg_factors[-1][:, :S_true] if S_true != num_sims
+            else reg_factors[-1]
+        )
+        end_spots = spot_from_factors(end_f, sim_vols[-1], sim_drift[-1])
         v_end = jnp.asarray(
             terminal_fn(end_spots[:, None], dev.grids[n][None, :]), dtype
         )
-        v_end = jnp.broadcast_to(v_end, (num_sims, G))
+        v_end = jnp.broadcast_to(v_end, (S_true, G))
+        if S_true != num_sims:
+            v_end = jnp.pad(v_end, ((0, num_sims - S_true), (0, 0)))
 
     first = 1 if val_first else 0
     m = reg_factors.shape[0] - 1  # simulated decision steps
@@ -1050,14 +1100,36 @@ def _backward_program(
         if pallas is None
         else partial(
             backward_scan_pallas, block_sims=pallas[0], interpret=pallas[1],
-            mesh=mesh,
+            mesh=mesh, true_sims=S_true,
         )
     )
-    for a, b in reversed(_overflow_safe_spans(m, num_sims, G, pallas is not None)):
+    span_cap = (
+        _backward_span_cap(
+            reg_factors.shape[1], num_sims, jnp.dtype(dtype).itemsize
+        )
+        if pallas is not None
+        else None
+    )
+    spans = reversed(
+        _overflow_safe_spans(m, num_sims, G, pallas is not None, span_cap)
+    )
+    for i, (a, b) in enumerate(spans):
         lo_k, hi_k = first + a, first + b
+        if i == 0:
+            chunk = reg_factors[a:b]
+        else:
+            # Sequencing guard: route the factor array through an
+            # optimization_barrier with the previous span's value surface so
+            # each span's slice-copy cannot be scheduled before that span is
+            # reached — without it XLA hoists ALL span slices to the top of
+            # the program and keeps the full 4.1 GB of them live at once at
+            # 1M paths (the barrier is opaque to the simplifier; an index
+            # arithmetic trick like `a + (x & 0)` gets constant-folded away).
+            src, v = jax.lax.optimization_barrier((reg_factors, v))
+            chunk = src[a:b]
         v, coeffs_c, mus_c, sds_c, vbars_c = scan_fn(
             v,
-            reg_factors[a:b],
+            chunk,
             sim_vols[a:b],
             sim_drift[a:b],
             dev.grids[lo_k:hi_k],
@@ -1079,6 +1151,8 @@ def _backward_program(
         jnp.concatenate([p[i] for p in parts], axis=0) for i in range(4)
     )
 
+    if v.shape[0] != S_true:  # zero-span edge: v is still the padded v_end
+        v = v[:S_true]
     if val_first:
         v0, cont_mean0 = _current_period_step(
             v, dev, interp_kind, G, extra_decisions, dtype
@@ -1238,15 +1312,19 @@ def _assemble_arrays(
     )
 
 
+# NOTE on donation: the factor-path argument is live across the entire scan
+# and the programs' outputs are grid-sized (nothing of the paths' shape), so
+# donate_argnums could never alias it — XLA warned "donated buffers were not
+# usable" and kept the buffer pinned regardless.  The HBM-peak fix is
+# upstream instead: simulate_factor_paths(pad_to=...) emits kernel-aligned
+# paths so the Pallas scans never materialise a padded second copy.
 _backward_program_jit = jax.jit(
     _backward_program,
     static_argnames=(
         "spec", "interp_kind", "num_grid_points", "extra_decisions",
         "val_first", "terminal_fn", "pallas", "mesh", "quantize_weights",
+        "true_sims",
     ),
-    # The regression path set is dead after this program: donating lets XLA
-    # reuse its GBs of HBM for scan workspace.
-    donate_argnums=(0,),
 )
 
 _forward_program_jit = jax.jit(
@@ -1255,7 +1333,6 @@ _forward_program_jit = jax.jit(
         "spec", "interp_kind", "num_grid_points", "extra_decisions",
         "val_first", "terminal_fn", "discount_deltas", "collect_panels",
     ),
-    donate_argnums=(0,),
 )
 
 
@@ -1275,8 +1352,15 @@ def run_lsmc(
     mesh=None,
     collect_panels: bool = True,
     stopwatches=None,
+    num_sims: Optional[int] = None,
 ) -> LsmcArrays:
     """Run backward induction + forward simulation.
+
+    ``num_sims`` (the true path count, when known up front) lets the driver
+    ask ``pad_to``-aware simulation factories for kernel-aligned (lane-
+    padded) path sets, which removes a full padded path-set copy from the
+    backward/forward programs' HBM peaks.  Factories without a ``pad_to``
+    parameter and direct arrays behave exactly as before.
 
     ``reg_sims``/``val_sims`` are factories so the regression path set can be
     freed before the valuation set is simulated — at production path counts
@@ -1311,7 +1395,25 @@ def run_lsmc(
     from ..models.simulation import StreamingFactorSource
 
     chunked = on_progress_update is not None or cancelled is not None
-    reg = reg_sims() if callable(reg_sims) else reg_sims
+    # Lane-pad hint: with a known path count and the single-device Pallas
+    # route ahead, ask the simulation factory to emit factor paths ALREADY
+    # padded to the backward scan's span multiple — the scan then uses them
+    # in place instead of materialising a padded second copy (4.1 GB at 1M
+    # paths; the whole-horizon materialised OOM of rounds 3-4).
+    reg_pad = None
+    if (
+        not chunked and mesh is None and num_sims is not None
+        and jnp.dtype(dtype) == jnp.float32
+    ):
+        bpal_hint = _pallas_backward_eligible(
+            mesh, dtype, num_sims, ctx.num_grid_points
+        )
+        if bpal_hint is not None:
+            tgt = _backward_pad_target(
+                num_sims, ctx.num_grid_points, bpal_hint[0]
+            )
+            reg_pad = tgt if tgt != num_sims else None
+    reg = _call_sim_factory(reg_sims, reg_pad)
     if chunked or isinstance(reg, StreamingFactorSource):
         # Streaming sources always take the chunked driver: factor paths are
         # re-simulated span-by-span there instead of materialising [m, F, S].
@@ -1322,34 +1424,38 @@ def run_lsmc(
         )
 
     reg_factors = shard(reg)
+    del reg
+    width = reg_factors.shape[-1]
+    true = num_sims if (num_sims is not None and width >= num_sims) else width
     if stopwatches is not None:
         stopwatches.start("BackwardInduction")
-    bpal = _pallas_backward_eligible(
-        mesh, dtype, reg_factors.shape[-1], ctx.num_grid_points
-    )
+    bpal = _pallas_backward_eligible(mesh, dtype, true, ctx.num_grid_points)
     backward_npv, cont_mean0, coeffs, mus, sds, vbars = _backward_program_jit(
         reg_factors, sim_vols, sim_drift, dev, pallas=bpal, mesh=mesh,
-        quantize_weights=_xla_quantize_weights(), **statics
+        quantize_weights=_xla_quantize_weights(), true_sims=true, **statics
     )
     jax.block_until_ready(coeffs)
     _check_backward_health(coeffs, vbars, ctx.fwd)
     if stopwatches is not None:
         stopwatches.stop("BackwardInduction")
-    num_sims = reg_factors.shape[-1]
     del reg_factors
 
-    val_factors = shard(val_sims() if callable(val_sims) else val_sims)
+    fpal = _pallas_forward_eligible(
+        ctx, extra_decisions, mesh, collect_panels, true, dtype
+    )
+    val_pad = None
+    if fpal is not None and mesh is None:
+        tgt = -(-true // fpal[0]) * fpal[0]
+        val_pad = tgt if tgt != true else None
+    val_factors = shard(_call_sim_factory(val_sims, val_pad))
     if stopwatches is not None:
         stopwatches.start("ForwardSimulation")
-    fpal = _pallas_forward_eligible(
-        ctx, extra_decisions, mesh, collect_panels, num_sims, dtype
-    )
     if fpal is not None:
         arrays = _forward_program_pallas(
             val_factors, sim_vols, sim_drift, cont_mean0, coeffs, mus, sds, vbars,
             dev, backward_npv,
             discount_deltas=discount_deltas, block_sims=fpal[0],
-            interpret=fpal[1], mesh=mesh, **statics
+            interpret=fpal[1], mesh=mesh, true_sims=true, **statics
         )
     else:
         arrays = _forward_program_jit(
@@ -1807,6 +1913,39 @@ def reprice(
 # --------------------------------------------------------------------------- #
 
 
+def _backward_pad_target(num_sims: int, num_grid: int, block_sims: int) -> int:
+    """Sims width the backward Pallas scan wants its inputs padded to.
+
+    Mirrors :func:`backward_scan_pallas`'s single-device span computation
+    (``block * min(sub_tiles, ceil(S/block))`` rounded up) so pre-padded
+    inputs skip the scan's own in-program pad entirely.
+    """
+    sub = env_sub_tiles()
+    if sub is None:
+        sub = auto_sub_tiles(block_sims, num_grid)
+    span = block_sims * min(sub, max(1, -(-num_sims // block_sims)))
+    return -(-num_sims // span) * span
+
+
+def _call_sim_factory(factory, pad_to: Optional[int]):
+    """Invoke a simulation factory, forwarding ``pad_to`` only if it takes it.
+
+    Accepts plain arrays (returned as-is), zero-arg factories (legacy), and
+    ``pad_to``-aware factories.
+    """
+    if not callable(factory):
+        return factory
+    if pad_to is not None:
+        import inspect
+
+        try:
+            if "pad_to" in inspect.signature(factory).parameters:
+                return factory(pad_to=pad_to)
+        except (TypeError, ValueError):
+            pass
+    return factory()
+
+
 def _pick_pallas_block(num_sims: int, max_block: int = 1024) -> Optional[int]:
     """Lane-aligned block size (the kernel pads the sims axis as needed).
 
@@ -1886,10 +2025,10 @@ def _pallas_stacked_outputs(
     jax.jit,
     static_argnames=("spec", "interp_kind", "num_grid_points", "extra_decisions",
                      "val_first", "terminal_fn", "discount_deltas", "block_sims",
-                     "interpret", "mesh"),
+                     "interpret", "mesh", "true_sims"),
 )
 def _forward_program_pallas(
-    val_factors,  # [m_rows, F, S] simulated periods (incl. end row)
+    val_factors,  # [m_rows, F, S] simulated periods (incl. end row; S may be lane-padded)
     sim_vols,
     sim_drift,
     cont_mean0,
@@ -1909,12 +2048,14 @@ def _forward_program_pallas(
     block_sims: int,
     interpret: bool = False,
     mesh=None,
+    true_sims: Optional[int] = None,
 ) -> LsmcArrays:
     """Forward pass via the fused Pallas kernel (collect_panels=False path)."""
     from ..ops.pallas_forward import pack_scalars, pallas_forward_sim
 
     G = num_grid_points
-    num_sims = val_factors.shape[-1]
+    num_sims = val_factors.shape[-1]  # incoming width (maybe lane-padded)
+    S_true = num_sims if true_sims is None else true_sims
     dtype = val_factors.dtype
     n = val_factors.shape[0] - 1 + (1 if val_first else 0)
     first = 1 if val_first else 0
@@ -1955,21 +2096,36 @@ def _forward_program_pallas(
     sums_parts, xsum_parts = [], []
     for a in range(0, m, _FORWARD_PALLAS_MAX_SPAN):
         b = min(a + _FORWARD_PALLAS_MAX_SPAN, m)
+        if a == 0:
+            src = val_factors
+        else:
+            # Sequencing guard (same as the backward span loop): tie each
+            # span's factor slice-copy to the running inventory carry so XLA
+            # cannot schedule every span's ~3 GB slice up front and hold them
+            # all live at once.
+            src, inv_carry = jax.lax.optimization_barrier(
+                (val_factors, inv_carry)
+            )
         sums_c, xsums_c, inv_carry, pv_c = pallas_forward_sim(
-            val_factors[a:b], inv_carry, tables[a:b], mus[a:b], sds[a:b],
+            src[a:b], inv_carry, tables[a:b], mus[a:b], sds[a:b],
             pillars[a:b], scalars[a:b],
             spec=spec, interp_kind=interp_kind, num_grid=G,
             block_sims=block_sims, interpret=interpret, mesh=mesh,
+            true_sims=S_true if mesh is None else None,
         )
         pv_final = pv_final + pv_c
         sums_parts.append(sums_c)
         xsum_parts.append(xsums_c)
     sums = jnp.concatenate(sums_parts, axis=0) if len(sums_parts) > 1 else sums_parts[0]
     xsums = jnp.concatenate(xsum_parts, axis=0) if len(xsum_parts) > 1 else xsum_parts[0]
-    inv_final = inv_carry
+    # Per-sim outputs shed the padded lanes here; the reduced sums/xsums were
+    # already masked to the true sims inside the kernel.
+    inv_final = inv_carry[:S_true] if S_true != num_sims else inv_carry
+    if S_true != num_sims:
+        pv_final = pv_final[:S_true]
 
     stacked = _pallas_stacked_outputs(
-        sums, xsums, tables, dev, dfd, first, n, num_sims, interp_kind, G,
+        sums, xsums, tables, dev, dfd, first, n, S_true, interp_kind, G,
         extra_decisions, dtype,
     )
     if val_first:
@@ -1980,7 +2136,8 @@ def _forward_program_pallas(
 
     pv_by_sim_base = pv_final + pv0
     carry = (inv_final, pv_by_sim_base)
-    end_spots = spot_from_factors(val_factors[-1], sim_vols[-1], sim_drift[-1])
+    end_f = val_factors[-1][:, :S_true] if S_true != num_sims else val_factors[-1]
+    end_spots = spot_from_factors(end_f, sim_vols[-1], sim_drift[-1])
     return _assemble_arrays(
         stacked, carry, end_spots, terminal_fn, backward_npv, dtype,
         collect_panels=False,

@@ -206,13 +206,14 @@ def _scan_factor_blocks(key, y0, decay, chol, start, num_steps: int,
     return y_last, factors_main
 
 
-@partial(jax.jit, static_argnames=("num_sims", "antithetic"))
+@partial(jax.jit, static_argnames=("num_sims", "antithetic", "pad_to"))
 def _simulate_factor_kernel(
     key,
     decay,  # [n, F]
     chol,  # [n, F, F]
     num_sims: int,
     antithetic: bool,
+    pad_to: Optional[int] = None,
 ):
     """Device kernel: scan OU factor states over time.
 
@@ -220,12 +221,25 @@ def _simulate_factor_kernel(
     transform of the factors (``exp(drift_k + vols_k . Y_k)``) and are
     recomputed where needed instead of stored — at production path counts the
     spot panel alone is GBs of HBM.
+
+    ``pad_to`` zero-pads the sims axis to ``[n, F, pad_to]`` INSIDE this
+    program.  The Pallas engines lane-pad their inputs to the kernel block
+    multiple; doing it here (where nothing else is resident) instead of in
+    the backward/forward programs (where the unpadded original would stay
+    pinned alongside the padded copy) cuts those programs' HBM peak by a
+    full path-set copy each — the whole-horizon 1M materialised config OOMed
+    on exactly that (round-4 mem_analysis_probe: backward temp 11.0 GB, of
+    which 4.1 GB was the in-program padded copy riding the scan carry).
+    The true draws are unchanged: threefry blocks are keyed on ``num_sims``,
+    and padded lanes are masked out of every kernel reduction.
     """
     n, num_factors = decay.shape
     y0 = jnp.zeros((num_factors, num_sims), dtype=decay.dtype)
     _, factors = _scan_factor_blocks(
         key, y0, decay, chol, 0, n, num_sims, antithetic
     )
+    if pad_to is not None and pad_to > num_sims:
+        factors = jnp.pad(factors, ((0, 0), (0, 0), (0, pad_to - num_sims)))
     return factors
 
 
@@ -246,8 +260,14 @@ def simulate_factor_paths(
     antithetic: bool = False,
     dtype=jnp.float32,
     key: Optional[jax.Array] = None,
+    pad_to: Optional[int] = None,
 ) -> jax.Array:
-    """Simulate Markov factor state paths ``[n, F, S]``."""
+    """Simulate Markov factor state paths ``[n, F, S]``.
+
+    ``pad_to`` zero-pads the sims axis to that width inside the simulation
+    program (see :func:`_simulate_factor_kernel`); draws for the true
+    ``num_sims`` lanes are bit-identical either way.
+    """
     if key is None:
         if seed is None:
             seed = np.random.SeedSequence().entropy % (2**63)
@@ -258,6 +278,7 @@ def simulate_factor_paths(
         jnp.asarray(coeffs.chol, dtype),
         num_sims=int(num_sims),
         antithetic=bool(antithetic),
+        pad_to=None if pad_to is None else int(pad_to),
     )
 
 

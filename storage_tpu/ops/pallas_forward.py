@@ -247,13 +247,20 @@ def _forward_sim_local(
     num_grid: int,
     block_sims: int,
     interpret: bool,
+    true_sims: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Device-local fused forward simulation.
 
     Returns ``(sums [n, 7], xsums [n, B+1], inv_final [S_local],
     pv_final [S_local])`` with sums/xsums reduced over the LOCAL sims only.
+    ``true_sims`` marks the real path count when ``factors`` arrives already
+    lane-padded (see ``simulate_factor_paths(pad_to=...)``); padded lanes are
+    masked out of the reduced sums and the per-sim outputs keep the incoming
+    (padded) width for the caller to slice.
     """
     n, num_factors, S = factors.shape
+    if true_sims is None:
+        true_sims = S
     if block_sims % 128:
         raise ValueError("block_sims must be a multiple of 128 (TPU lane width).")
     num_blocks = -(-S // block_sims)
@@ -275,7 +282,7 @@ def _forward_sim_local(
         num_factors=num_factors,
         num_pillars=num_pillars,
         interp_kind=interp_kind,
-        true_sims=S,
+        true_sims=true_sims,
     )
     sums, xsums, inv_final, pv_final = pl.pallas_call(
         kernel,
@@ -317,7 +324,7 @@ def _forward_sim_local(
     jax.jit,
     static_argnames=(
         "spec", "interp_kind", "num_grid", "block_sims", "interpret", "mesh",
-        "axis_name",
+        "axis_name", "true_sims",
     ),
 )
 def pallas_forward_sim(
@@ -335,6 +342,7 @@ def pallas_forward_sim(
     interpret: bool = False,
     mesh=None,
     axis_name: Optional[str] = None,
+    true_sims: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Run the fused forward simulation.
 
@@ -356,10 +364,18 @@ def pallas_forward_sim(
         block_sims=block_sims, interpret=interpret,
     )
     if mesh is None:
-        return local(factors, inv0_vec, tables, mus, sds, pillars, scalars)
+        return local(
+            factors, inv0_vec, tables, mus, sds, pillars, scalars,
+            true_sims=true_sims,
+        )
 
     from jax.sharding import PartitionSpec as P
 
+    if true_sims is not None and true_sims != S:
+        raise ValueError(
+            "pre-padded (true_sims < width) inputs are single-device only — "
+            "under a mesh the padding would have to be per shard"
+        )
     axis_name = axis_name or mesh.axis_names[0]
 
     def body(f, iv, tb, mu, sd, pil, sc):

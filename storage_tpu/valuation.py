@@ -315,22 +315,36 @@ def _multi_factor_calc(
                     mesh=mesh,
                 ).prepare()
     else:
-        def make_reg():
+        # pad_to: the engine asks for kernel-aligned (lane-padded) paths so
+        # the Pallas scans never materialise a padded second copy of the
+        # path set (see run_lsmc / simulate_factor_paths).  The spot panels
+        # cache always slices back to the true sims.
+        def make_reg(pad_to=None):
             logger.info("Starting regression spot price simulation.")
             with stopwatches.time("RegressionPriceSimulation"):
-                f = simulate_factor_paths(coeffs, num_sims, None, antithetic, dtype, key=reg_key)
+                f = simulate_factor_paths(
+                    coeffs, num_sims, None, antithetic, dtype, key=reg_key,
+                    pad_to=pad_to,
+                )
             logger.info("Spot regression price simulation complete.")
             if return_sim_panels:
-                sims_cache["reg"] = spots_from_factor_paths(f, sim_vols, sim_drift)
+                sims_cache["reg"] = spots_from_factor_paths(
+                    f[..., :num_sims], sim_vols, sim_drift
+                )
             return f
 
-        def make_val():
+        def make_val(pad_to=None):
             logger.info("Starting valuation spot price simulation.")
             with stopwatches.time("ValuationPriceSimulation"):
-                f = simulate_factor_paths(coeffs, num_sims, None, antithetic, dtype, key=val_key)
+                f = simulate_factor_paths(
+                    coeffs, num_sims, None, antithetic, dtype, key=val_key,
+                    pad_to=pad_to,
+                )
             logger.info("Valuation spot price simulation complete.")
             if return_sim_panels:
-                sims_cache["val"] = spots_from_factor_paths(f, sim_vols, sim_drift)
+                sims_cache["val"] = spots_from_factor_paths(
+                    f[..., :num_sims], sim_vols, sim_drift
+                )
             return f
 
     logger.info("Calculating LSMC value.")
@@ -344,6 +358,7 @@ def _multi_factor_calc(
         mesh=mesh,
         collect_panels=return_sim_panels,
         stopwatches=stopwatches,
+        num_sims=num_sims,
     )
     jax.block_until_ready(arrays.npv)
     logger.info("Calculation of LSMC value complete.")
