@@ -30,8 +30,15 @@ from .exceptions import InventoryConstraintsCannotBeFulfilledError
 from .ops.interp import uniform_grids
 from .ops.inventory_space import InventorySpace, calculate_inventory_space
 from .storage import CmdtyStorage
-from .utils.discount import DiscountFn, as_discounter, discount_factors_for_days
-from .utils.frequencies import PeriodLike, normalize_freq, period_start_day, to_day, to_period
+from .utils.discount import DiscountFn, discount_factors_for_spec
+from .utils.frequencies import (
+    PeriodLike,
+    days_index,
+    normalize_freq,
+    period_start_day,
+    to_day,
+    to_period,
+)
 
 SettlementRule = Callable[[pd.Period], date]
 
@@ -97,6 +104,39 @@ def _sample_forward_curve(
     return sampled.to_numpy(dtype=np.float64)
 
 
+def _rule_days(rule, periods: pd.PeriodIndex) -> np.ndarray:
+    """Cash-flow days (``datetime64[D]``) for each decision period.
+
+    Scalar rules are the API contract (a callable of one period, reference
+    ``utils.py:116-123``), but per-period pandas calls cost ~0.2 ms each —
+    the single largest host item of the headline valuation.  Pandas-native
+    rules (like ``d.asfreq('M').asfreq('D', 'end') + 20``) work unchanged on
+    a whole ``PeriodIndex``, so the rule is first tried vectorised; the
+    result only counts when it is index-like of the right length AND agrees
+    with the scalar call on the first and last period (guarding rules whose
+    Index behaviour differs from their elementwise one).  Any failure falls
+    back to the per-period loop.
+    """
+    if rule is None:
+        return days_index(periods)
+    try:
+        vec = rule(periods)
+        if (
+            not isinstance(vec, pd.Period)
+            and hasattr(vec, "__len__")
+            and len(vec) == len(periods)
+        ):
+            days = days_index(vec)
+            ends = [0, len(periods) - 1]
+            if all(
+                days[i].astype(object) == to_day(rule(periods[i])) for i in ends
+            ):
+                return days
+    except Exception:  # noqa: BLE001 - scalar fallback is the contract
+        pass
+    return days_index([to_day(rule(p)) for p in periods])
+
+
 def build_valuation_context(
     storage: CmdtyStorage,
     val_date: PeriodLike,
@@ -146,20 +186,12 @@ def build_valuation_context(
 
     fwd = _sample_forward_curve(forward_curve, periods)
 
-    discounter = as_discounter(interest_rates)
     present_day = period_start_day(val_period)
     decision_periods = periods[:-1]
-    if settlement_rule is None:
-        settle_days = [period_start_day(p) for p in decision_periods]
-    else:
-        settle_days = [to_day(settlement_rule(p)) for p in decision_periods]
-    df_settle = discount_factors_for_days(discounter, present_day, settle_days)
-    cost_rule = storage.cost_cash_flow_rule
-    if cost_rule is None:
-        cost_days = [period_start_day(p) for p in decision_periods]
-    else:
-        cost_days = [to_day(cost_rule(p)) for p in decision_periods]
-    df_cost = discount_factors_for_days(discounter, present_day, cost_days)
+    settle_days = _rule_days(settlement_rule, decision_periods)
+    df_settle = discount_factors_for_spec(interest_rates, present_day, settle_days)
+    cost_days = _rule_days(storage.cost_cash_flow_rule, decision_periods)
+    df_cost = discount_factors_for_spec(interest_rates, present_day, cost_days)
 
     return ValuationContext(
         storage=storage,

@@ -252,31 +252,35 @@ def _forward_sweep(
         if use_cubic:
             moments_next = _host_cubic_moments(v_next, h_next)
         price = float(ctx.fwd[k])
-        totals = np.empty(len(decisions))
-        period_pvs = np.empty(len(decisions))
-        consumed_arr = np.empty(len(decisions))
-        for d_idx, d in enumerate(decisions):
-            inv_after = inv + d - loss
-            if use_cubic:
-                cont = _host_cubic_eval(
-                    float(grid_next[0]), h_next, v_next, moments_next, inv_after
-                )
-            else:
-                cont = float(np.interp(inv_after, grid_next, v_next))
-            consumed = (
-                float(ctx.cons_inject[k]) * abs(d) if d > 0.0 else float(ctx.cons_withdraw[k]) * abs(d)
+        d_arr = np.asarray(decisions, dtype=np.float64)
+        inv_after = inv + d_arr - loss
+        if use_cubic:
+            cont = np.array(
+                [
+                    _host_cubic_eval(
+                        float(grid_next[0]), h_next, v_next, moments_next, q
+                    )
+                    for q in inv_after
+                ]
             )
-            iw_cost = (
-                float(ctx.inject_cost[k]) * abs(d) if d > 0.0 else float(ctx.withdraw_cost[k]) * abs(d)
-            )
-            inv_cost = float(ctx.inventory_cost_rate[k]) * inv
-            period_pv = (
-                -(d + consumed) * price * float(ctx.df_settle[k])
-                - (iw_cost + inv_cost) * float(ctx.df_cost[k])
-            )
-            totals[d_idx] = period_pv + cont
-            period_pvs[d_idx] = period_pv
-            consumed_arr[d_idx] = consumed
+        else:
+            # One vectorised interp for the whole decision set (the scalar
+            # per-decision np.interp calls dominated this host sweep).
+            cont = np.interp(inv_after, grid_next, v_next)
+        abs_d = np.abs(d_arr)
+        inject = d_arr > 0.0
+        consumed_arr = np.where(
+            inject, float(ctx.cons_inject[k]) * abs_d, float(ctx.cons_withdraw[k]) * abs_d
+        )
+        iw_cost = np.where(
+            inject, float(ctx.inject_cost[k]) * abs_d, float(ctx.withdraw_cost[k]) * abs_d
+        )
+        inv_cost = float(ctx.inventory_cost_rate[k]) * inv
+        period_pvs = (
+            -(d_arr + consumed_arr) * price * float(ctx.df_settle[k])
+            - (iw_cost + inv_cost) * float(ctx.df_cost[k])
+        )
+        totals = period_pvs + cont
         _, best = max_value_and_index(totals)
         d_opt = float(decisions[best])
         inv = inv + d_opt - loss

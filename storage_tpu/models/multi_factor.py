@@ -111,6 +111,33 @@ def _curve_lookup(vol_curve: CurveType, contract, factor_num: int) -> float:
     raise ValueError(f"No point in {curve_name} at contract {contract!r}.")
 
 
+def _curve_sample(curve: CurveType, sim_periods, period_index, factor_num: int) -> np.ndarray:
+    """Sample a curve at every simulated period.
+
+    Fast path: a Series at the simulation frequency is sampled with one
+    vectorised ``get_indexer`` (the per-period :func:`_curve_lookup` costs
+    ~70 us each in pandas scalar plumbing).  Exact-lookup semantics are
+    preserved: any period without a curve point raises the same error, via
+    the scalar path so dict curves / date-spelled keys keep their fallbacks.
+    """
+    if (
+        period_index is not None
+        and isinstance(curve, pd.Series)
+        and isinstance(curve.index, pd.PeriodIndex)
+        and curve.index.freqstr == period_index.freqstr
+        and not curve.index.has_duplicates
+    ):
+        indexer = curve.index.get_indexer(period_index)
+        if (indexer >= 0).all():
+            return curve.to_numpy(dtype=np.float64)[indexer]
+        missing = period_index[int(np.flatnonzero(indexer < 0)[0])]
+        curve_name = "fwd curve" if factor_num < 0 else f"vol curve of factor {factor_num}"
+        raise ValueError(f"No point in {curve_name} at contract {missing!r}.")
+    return np.array(
+        [_curve_lookup(curve, p, factor_num) for p in sim_periods], dtype=np.float64
+    )
+
+
 def _as_day(date_like) -> date:
     if isinstance(date_like, pd.Period):
         ts = date_like.start_time
@@ -243,12 +270,13 @@ def create_3_factor_season_params(
     peak_period = pd.Period(year=start_period.year, month=2, day=1, freq=norm_freq)
     phase = np.pi / 2.0
     amplitude = seasonal_vol / 2.0
-    t_from_peak = np.array(
-        [
-            (p.start_time - peak_period.start_time).total_seconds() / SECONDS_PER_YEAR
-            for p in index
-        ]
-    )
+    # Vectorised (p.start_time - peak).total_seconds(): bit-equal to the
+    # per-period loop (both divide the same integer-ns delta by 1e9) without
+    # 342 pandas Period.start_time calls.
+    t_from_peak = (
+        (index.to_timestamp() - peak_period.start_time).total_seconds()
+        / SECONDS_PER_YEAR
+    ).to_numpy()
     seasonal_vol_curve = pd.Series(
         index=index.copy(), data=np.sin(2.0 * np.pi * t_from_peak + phase) * amplitude
     )
@@ -273,18 +301,39 @@ def build_sim_coefficients(
     Vol and forward curves are sampled by **exact lookup** per simulated
     period, mirroring the reference simulator's dictionary-curve contract.
     """
-    time_func = time_func or act_365
-    times = np.array([time_func(current_date, p) for p in sim_periods], dtype=np.float64)
+    if isinstance(sim_periods, pd.PeriodIndex):
+        period_index = sim_periods
+    elif (
+        isinstance(sim_periods, (list, tuple))
+        and sim_periods
+        and all(isinstance(p, pd.Period) for p in sim_periods)
+    ):
+        period_index = pd.PeriodIndex(sim_periods)
+    else:
+        period_index = None
+    if time_func is None and period_index is not None:
+        # Vectorised act_365 over the whole index: bit-equal to the scalar
+        # loop (same integer-ns delta / 1e9 / (86_400 * 365)).
+        from ..utils.daycount import _to_timestamp
+
+        times = (
+            (period_index.to_timestamp() - _to_timestamp(current_date))
+            .total_seconds()
+            .to_numpy()
+            / (86_400.0 * 365.0)
+        )
+    else:
+        scalar_tf = time_func or act_365
+        times = np.array(
+            [scalar_tf(current_date, p) for p in sim_periods], dtype=np.float64
+        )
     if np.any(times <= 0.0):
         raise ValueError("All simulated periods must be after the current date.")
     num_factors = len(factors)
     vols = np.empty((len(sim_periods), num_factors), dtype=np.float64)
     for f, (_mr, vol_curve) in enumerate(factors):
-        for k, p in enumerate(sim_periods):
-            vols[k, f] = _curve_lookup(vol_curve, p, f)
-    forwards = np.array(
-        [_curve_lookup(fwd_curve, p, -1) for p in sim_periods], dtype=np.float64
-    )
+        vols[:, f] = _curve_sample(vol_curve, sim_periods, period_index, f)
+    forwards = _curve_sample(fwd_curve, sim_periods, period_index, -1)
     mean_reversions = np.array([mr for mr, _ in factors], dtype=np.float64)
     return sim_coefficients(mean_reversions, vols, factor_corrs, times, forwards)
 

@@ -87,18 +87,26 @@ def sim_coefficients(
 
     decay = np.exp(-alphas[None, :] * dts[:, None])  # [n, F]
 
-    chol = np.empty((n, num_factors, num_factors), dtype=np.float64)
-    for k in range(n):
-        cov = corrs * _cont_ext(alpha_sum, dts[k])
-        # Tiny jitter guards semidefinite cases (dt == 0 or perfectly
-        # correlated factors) without perturbing healthy covariances.
-        try:
-            chol[k] = np.linalg.cholesky(cov)
-        except np.linalg.LinAlgError:
-            eye = np.eye(num_factors) * 1e-14
-            w, v = np.linalg.eigh(cov + eye)
-            w = np.clip(w, 0.0, None)
-            chol[k] = np.linalg.cholesky(v @ np.diag(w) @ v.T + eye)
+    cov_all = corrs[None, :, :] * _cont_ext(
+        alpha_sum[None, :, :], dts[:, None, None]
+    )  # [n, F, F]
+    try:
+        # One batched LAPACK call (identical per-matrix results to the loop).
+        chol = np.linalg.cholesky(cov_all)
+    except np.linalg.LinAlgError:
+        # Some step is semidefinite (dt == 0 or perfectly correlated
+        # factors): redo per step so only the bad ones pay the eigh repair
+        # jitter (which must not perturb healthy covariances).
+        chol = np.empty((n, num_factors, num_factors), dtype=np.float64)
+        for k in range(n):
+            cov = cov_all[k]
+            try:
+                chol[k] = np.linalg.cholesky(cov)
+            except np.linalg.LinAlgError:
+                eye = np.eye(num_factors) * 1e-14
+                w, v = np.linalg.eigh(cov + eye)
+                w = np.clip(w, 0.0, None)
+                chol[k] = np.linalg.cholesky(v @ np.diag(w) @ v.T + eye)
 
     # V_k = Var[sum_i sigma_i(t_k) Y_i(t_k)]
     variance = np.einsum(

@@ -105,3 +105,23 @@ def period_start_day(period: pd.Period) -> date:
     """First calendar day of a period (reference ``period.First<Day>()``)."""
     ts = period.start_time
     return date(ts.year, ts.month, ts.day)
+
+
+def days_index(obj) -> "np.ndarray":
+    """Vectorised :func:`to_day`: an array of ``datetime64[D]`` for any
+    period/date collection.
+
+    Per-element ``Period.start_time`` costs ~0.1 ms each inside pandas (it
+    dominated the host share of the headline valuation at daily resolution);
+    ``PeriodIndex.to_timestamp()`` converts the whole index in one C call.
+    Falls back to the scalar coercion for heterogeneous sequences.
+    """
+    import numpy as np
+
+    if isinstance(obj, pd.PeriodIndex):
+        return obj.to_timestamp().values.astype("datetime64[D]")
+    if isinstance(obj, pd.DatetimeIndex):
+        return obj.values.astype("datetime64[D]")
+    if isinstance(obj, np.ndarray) and np.issubdtype(obj.dtype, np.datetime64):
+        return obj.astype("datetime64[D]")
+    return np.array([np.datetime64(to_day(x)) for x in obj], dtype="datetime64[D]")
