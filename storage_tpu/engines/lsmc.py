@@ -1464,7 +1464,10 @@ def run_lsmc(
             discount_deltas=discount_deltas, collect_panels=collect_panels, **statics
         )
     if stopwatches is not None:
-        jax.block_until_ready(arrays.npv)
+        if getattr(stopwatches, "sync", False):
+            np.asarray(arrays.npv)  # tunnel-honest sync (block_until_ready is not)
+        else:
+            jax.block_until_ready(arrays.npv)
         stopwatches.stop("ForwardSimulation")
     return arrays
 
@@ -1708,7 +1711,10 @@ def _run_lsmc_chunked(
             collect_panels=False,
         )
         if stopwatches is not None:
-            jax.block_until_ready(arrays.npv)
+            if getattr(stopwatches, "sync", False):
+                np.asarray(arrays.npv)
+            else:
+                jax.block_until_ready(arrays.npv)
             stopwatches.stop("ForwardSimulation")
         report(1.0)
         return arrays
@@ -1773,7 +1779,10 @@ def _run_lsmc_chunked(
         stacked, carry, end_spots, terminal_fn, backward_npv, dtype, collect_panels
     )
     if stopwatches is not None:
-        jax.block_until_ready(arrays.npv)
+        if getattr(stopwatches, "sync", False):
+            np.asarray(arrays.npv)
+        else:
+            jax.block_until_ready(arrays.npv)
         stopwatches.stop("ForwardSimulation")
     report(1.0)
     return arrays

@@ -292,20 +292,30 @@ def trinomial_deltas(
     num_inventory_grid_points: int = 100,
     numerical_tolerance: float = 1e-12,
     delta_shift: Optional[float] = None,
-    dtype=jnp.float32,
+    dtype=None,
 ):
     """Bump-and-revalue deltas per forward contract
     (reference ``trinomial.py:88-118``).
 
-    ``delta_shift`` defaults by precision: 0.01 in the float32 default mode
-    (the reference's 1e-5 bump — ``trinomial.py:100`` — sits below a float32
-    NPV's resolution, and bump-size studies show 0.01 recovers the f64
-    small-bump deltas to ~1e-3), and the reference's 1e-5 under
-    ``dtype=jnp.float64`` (with ``jax.enable_x64``), where the DP carries
-    enough mantissa for the reference default to be exact.
+    By default the bump-and-revalue DP runs in float64 under a local
+    ``jax.enable_x64`` scope with the reference's 1e-5 bump
+    (``trinomial.py:100``) — the tree DP is tiny, so the extra precision costs
+    nothing, and bump-and-revalue accuracy is mantissa-bound.  Pass
+    ``dtype=jnp.float32`` to force the MXU-friendly single-precision mode,
+    where ``delta_shift`` defaults to 0.01 instead (1e-5 sits below a float32
+    NPV's resolution; bump-size studies show 0.01 recovers the f64 small-bump
+    deltas to ~1e-3).
     """
     from ..utils.contracts import to_period_range
 
+    if dtype is None:
+        with jax.enable_x64(True):
+            return trinomial_deltas(
+                cmdty_storage, val_date, inventory, forward_curve, spot_volatility,
+                mean_reversion, time_step, interest_rates, settlement_rule,
+                fwd_contracts, num_inventory_grid_points, numerical_tolerance,
+                delta_shift, dtype=jnp.float64,
+            )
     if delta_shift is None:
         delta_shift = 1e-5 if jnp.dtype(dtype) == jnp.dtype("float64") else 0.01
     freq = normalize_freq(cmdty_storage.freq)

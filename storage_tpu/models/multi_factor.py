@@ -344,6 +344,12 @@ class MultiFactorSpotSim:
     API mirrors the reference class (``multi_factor.py:49-92``); the RNG is
     threefry (``jax.random``) instead of Mersenne Twister, so seeded values
     differ from the reference but are deterministic per seed.
+
+    .. note:: Seeded values are reproducible **per release only**: a kernel
+       re-layout may re-key the RNG stream at any minor version (README parity
+       notes #7-8), so pin the package version next to any pinned seed values.
+       The reference's seeded results are stable across its releases; this
+       library guarantees only statistical agreement across versions.
     """
 
     def __init__(

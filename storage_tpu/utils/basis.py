@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
-from typing import Dict, Iterable, List, Mapping, Optional, Tuple
+from typing import Dict, Iterable, List, Mapping, Optional, Tuple, Union
 
 _FACTOR_RE = re.compile(r"^x(\d+)$")
 _INT_RE = re.compile(r"^\d+$")
@@ -34,7 +34,16 @@ THREE_FACTOR_SEASONAL_ALIASES = {"x_st": 0, "x_lt": 1, "x_sw": 2}
 
 @dataclass(frozen=True)
 class Monomial:
-    """One basis function: ``s**spot_power * prod_i x_i**factor_powers[i]``."""
+    """One basis function: ``s**spot_power * prod_i x_i**factor_powers[i]``.
+
+    Supports the reference's operator-combination API
+    (``PowerMonomialBuilder.cs:30-76``, ``Sim.cs:30-45``): ``*`` multiplies two
+    monomials (powers add), ``**`` raises one to an integer power (powers
+    scale), and ``+`` concatenates monomials into a basis-function list that
+    every engine accepts alongside the string DSL::
+
+        basis = ones() + S + X(0) + X(0) ** 2 + S * X(0)
+    """
 
     spot_power: int = 0
     factor_powers: Tuple[Tuple[int, int], ...] = ()  # sorted ((factor_idx, power), ...)
@@ -50,6 +59,57 @@ class Monomial:
         for idx, power in self.factor_powers:
             parts.append(f"x{idx}" if power == 1 else f"x{idx}**{power}")
         return " * ".join(parts) if parts else "1"
+
+    def __mul__(self, other: "Monomial") -> "Monomial":
+        """Product of two monomials: spot/factor powers add
+        (reference ``PowerMonomialBuilder.operator *``)."""
+        if not isinstance(other, Monomial):
+            return NotImplemented
+        powers = dict(self.factor_powers)
+        for idx, power in other.factor_powers:
+            powers[idx] = powers.get(idx, 0) + power
+        return Monomial(
+            spot_power=self.spot_power + other.spot_power,
+            factor_powers=tuple(sorted(powers.items())),
+        )
+
+    def __pow__(self, power: int) -> "Monomial":
+        """``m**k``: every exponent scales by ``k``
+        (reference ``PowerMonomialBuilder.Pow``)."""
+        if not isinstance(power, int) or isinstance(power, bool):
+            return NotImplemented
+        if power < 0:
+            raise ValueError(f"Basis-function powers must be non-negative, got {power}.")
+        return Monomial(
+            spot_power=self.spot_power * power,
+            factor_powers=tuple(
+                sorted((i, p * power) for i, p in self.factor_powers)
+            ),
+        )
+
+    def pow(self, power: int) -> "Monomial":
+        """Method form of ``**`` (reference ``PowerMonomialBuilder.Pow``)."""
+        return self.__pow__(power)
+
+    def __add__(self, other) -> List["Monomial"]:
+        """``m1 + m2`` / ``m + [m1, m2]`` build a basis-function list
+        (reference ``PowerMonomialBuilder.operator +`` /
+        ``BasisFunctionsBuilder.Combine``)."""
+        if isinstance(other, Monomial):
+            return [self, other]
+        if isinstance(other, (list, tuple)) and all(
+            isinstance(m, Monomial) for m in other
+        ):
+            return [self, *other]
+        return NotImplemented
+
+    def __radd__(self, other) -> List["Monomial"]:
+        """``[m1, m2] + m`` appends to an existing basis list."""
+        if isinstance(other, (list, tuple)) and all(
+            isinstance(m, Monomial) for m in other
+        ):
+            return [*other, self]
+        return NotImplemented
 
 
 def parse_basis_functions(
@@ -145,3 +205,45 @@ def all_markov_powers_up_to(num_factors: int, max_power: int) -> List[Monomial]:
         for p in range(1, max_power + 1):
             basis.append(markov_factor_power(i, p))
     return basis
+
+
+#: The simulated spot price as a composable monomial (reference ``Sim.Spot`` /
+#: ``Sim.S``, ``Sim.cs:32-33``): ``ones() + S + S**2 + S * X(0)``.
+S = Monomial(spot_power=1)
+
+
+def X(factor_index: int) -> Monomial:
+    """Markov factor ``factor_index`` as a composable monomial
+    (reference ``Sim.Factor`` / ``Sim.X0..X9``, ``Sim.cs:34-45``)."""
+    if factor_index < 0:
+        raise ValueError(f"Factor index must be non-negative, got {factor_index}.")
+    return markov_factor_power(factor_index, 1)
+
+
+BasisFunctionsType = Union[str, Iterable[Monomial], Monomial]
+
+
+def as_monomials(
+    basis_funcs: BasisFunctionsType,
+    factor_aliases: Optional[Mapping[str, int]] = None,
+) -> List[Monomial]:
+    """Normalise a basis-function argument to a list of monomials.
+
+    Engines accept either the string DSL (``'1 + s + x0**2'``) or monomials
+    composed programmatically with ``+``/``*``/``**`` (reference accepts both
+    ``BasisFunctionsBuilder.Parse`` strings and ``PowerMonomialBuilder``
+    expressions interchangeably, ``LsmcValuationParameters.cs:80-118``).
+    """
+    if isinstance(basis_funcs, str):
+        return parse_basis_functions(basis_funcs, factor_aliases)
+    if isinstance(basis_funcs, Monomial):
+        return [basis_funcs]
+    monomials = list(basis_funcs)
+    if not monomials:
+        raise ValueError("Basis function list cannot be empty.")
+    bad = [m for m in monomials if not isinstance(m, Monomial)]
+    if bad:
+        raise TypeError(
+            f"basis_funcs must be a DSL string or Monomial objects; got {bad[0]!r}."
+        )
+    return monomials

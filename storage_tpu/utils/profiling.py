@@ -25,6 +25,11 @@ class Stopwatches:
     def __init__(self) -> None:
         self._elapsed: Dict[str, float] = {}
         self._started: Dict[str, float] = {}
+        #: When True, engines force a tiny device->host readback at phase
+        #: boundaries so attribution is genuine under async dispatch (on the
+        #: remote-chip tunnel ``block_until_ready`` does not synchronise).
+        #: Off by default: the readbacks cost ~30 ms of tunnel latency each.
+        self.sync: bool = False
 
     def start(self, phase: str) -> None:
         self._started[phase] = time.perf_counter()

@@ -34,7 +34,7 @@ from .models.simulation import simulate_factor_paths, spots_from_factor_paths
 from .ops.regression import basis_spec
 from .storage import CmdtyStorage
 from .types import TriggerPricePoint, TriggerPriceProfile
-from .utils.basis import THREE_FACTOR_SEASONAL_ALIASES, parse_basis_functions
+from .utils.basis import THREE_FACTOR_SEASONAL_ALIASES, BasisFunctionsType, as_monomials
 from .utils.frequencies import PeriodLike, normalize_freq, to_period
 from .utils.profiling import Stopwatches
 
@@ -88,7 +88,7 @@ def three_factor_seasonal_value(
     long_term_vol: float,
     seasonal_vol: float,
     num_sims: int,
-    basis_funcs: str,
+    basis_funcs: BasisFunctionsType,
     discount_deltas: bool,
     seed: Optional[int] = None,
     fwd_sim_seed: Optional[int] = None,
@@ -101,23 +101,30 @@ def three_factor_seasonal_value(
     dtype=jnp.float32,
     mesh=None,
     return_sim_panels: bool = True,
+    profile_sink: Optional[Callable[[Stopwatches], None]] = None,
 ) -> MultiFactorValuationResults:
     """Three-factor seasonal LSMC valuation (reference ``multi_factor.py:324-354``).
 
     Basis functions may reference the factors as ``x_st`` (short-term),
-    ``x_lt`` (long-term) and ``x_sw`` (seasonal wave); spot as ``s``.
+    ``x_lt`` (long-term) and ``x_sw`` (seasonal wave); spot as ``s`` — as a
+    DSL string or composed ``Monomial`` objects (``storage_tpu.S``/``X``).
     Pass ``mesh`` (a 1-D ``jax.sharding.Mesh``) to shard paths over devices.
+
+    ``seed``/``fwd_sim_seed`` give deterministic results **per release only**:
+    RNG stream keying may change at any minor version (README parity notes
+    #7-8); across versions only statistical agreement is guaranteed.
     """
     factors, factor_corrs = create_3_factor_season_params(
         cmdty_storage.freq, spot_mean_reversion, spot_vol, long_term_vol, seasonal_vol,
         to_period(val_date, normalize_freq(cmdty_storage.freq)), cmdty_storage.end,
     )
-    monomials = parse_basis_functions(basis_funcs, THREE_FACTOR_SEASONAL_ALIASES)
+    monomials = as_monomials(basis_funcs, THREE_FACTOR_SEASONAL_ALIASES)
     return _multi_factor_calc(
         cmdty_storage, val_date, inventory, fwd_curve, interest_rates, settlement_rule,
         factors, factor_corrs, num_sims, monomials, discount_deltas, seed, fwd_sim_seed,
         extra_decisions, num_inventory_grid_points, numerical_tolerance,
         on_progress_update, antithetic, cancelled, dtype, mesh, return_sim_panels,
+        profile_sink,
     )
 
 
@@ -131,7 +138,7 @@ def multi_factor_value(
     factors: Iterable[FactorType],
     factor_corrs: FactorCorrsType,
     num_sims: int,
-    basis_funcs: str,
+    basis_funcs: BasisFunctionsType,
     discount_deltas: bool,
     seed: Optional[int] = None,
     fwd_sim_seed: Optional[int] = None,
@@ -144,18 +151,26 @@ def multi_factor_value(
     dtype=jnp.float32,
     mesh=None,
     return_sim_panels: bool = True,
+    profile_sink: Optional[Callable[[Stopwatches], None]] = None,
 ) -> MultiFactorValuationResults:
-    """General multi-factor LSMC valuation (reference ``multi_factor.py:357-383``)."""
+    """General multi-factor LSMC valuation (reference ``multi_factor.py:357-383``).
+
+    ``basis_funcs`` accepts the DSL string or composed ``Monomial`` objects.
+    ``seed``/``fwd_sim_seed`` give deterministic results **per release only**
+    (README parity notes #7-8): RNG stream keying may change at any minor
+    version; across versions only statistical agreement is guaranteed.
+    """
     factors = list(factors)
     factor_corrs = validate_multi_factor_params(factors, factor_corrs)
     if normalize_freq(cmdty_storage.freq) != normalize_freq(fwd_curve.index.freqstr):
         raise ValueError("cmdty_storage and forward_curve have different frequencies.")
-    monomials = parse_basis_functions(basis_funcs)
+    monomials = as_monomials(basis_funcs)
     return _multi_factor_calc(
         cmdty_storage, val_date, inventory, fwd_curve, interest_rates, settlement_rule,
         factors, factor_corrs, num_sims, monomials, discount_deltas, seed, fwd_sim_seed,
         extra_decisions, num_inventory_grid_points, numerical_tolerance,
         on_progress_update, antithetic, cancelled, dtype, mesh, return_sim_panels,
+        profile_sink,
     )
 
 
@@ -182,10 +197,14 @@ def _multi_factor_calc(
     dtype,
     mesh=None,
     return_sim_panels: bool = True,
+    profile_sink=None,
 ) -> MultiFactorValuationResults:
     freq = normalize_freq(cmdty_storage.freq)
     val_period = to_period(val_date, freq)
     stopwatches = Stopwatches()
+    # Genuine phase attribution needs device syncs at phase boundaries; only
+    # pay for them when the caller asked for the profile.
+    stopwatches.sync = profile_sink is not None
     stopwatches.start("All")
 
     if inventory < 0:
@@ -326,6 +345,8 @@ def _multi_factor_calc(
                     coeffs, num_sims, None, antithetic, dtype, key=reg_key,
                     pad_to=pad_to,
                 )
+                if stopwatches.sync:
+                    np.asarray(jnp.ravel(f[-1])[:1])
             logger.info("Spot regression price simulation complete.")
             if return_sim_panels:
                 sims_cache["reg"] = spots_from_factor_paths(
@@ -340,6 +361,8 @@ def _multi_factor_calc(
                     coeffs, num_sims, None, antithetic, dtype, key=val_key,
                     pad_to=pad_to,
                 )
+                if stopwatches.sync:
+                    np.asarray(jnp.ravel(f[-1])[:1])
             logger.info("Valuation spot price simulation complete.")
             if return_sim_panels:
                 sims_cache["val"] = spots_from_factor_paths(
@@ -373,6 +396,10 @@ def _multi_factor_calc(
     )
     stopwatches.stop("All")
     logger.info("Profiling Report:\n%s", stopwatches.generate_profile_report())
+    if profile_sink is not None:
+        # Phase wall-clock capture for harnesses (bench.py commits the
+        # breakdown next to the headline number).
+        profile_sink(stopwatches)
     return results
 
 

@@ -252,6 +252,66 @@ class TestTinyVolEqualsIntrinsic:
         )
 
 
+class TestComposedBasisFunctions:
+    """Engines accept programmatic ``+``/``*``/``**`` monomial composition
+    (reference ``PowerMonomialBuilder.cs:30-76``) equivalently to the DSL."""
+
+    def test_composed_basis_equals_dsl_end_to_end(self):
+        from storage_tpu import S, X, ones
+
+        storage = CmdtyStorage(
+            "D", "2021-01-01", "2021-01-20",
+            injection_cost=0.1, withdrawal_cost=0.1,
+            min_inventory=0.0, max_inventory=300.0,
+            max_injection_rate=30.0, max_withdrawal_rate=30.0,
+        )
+        idx = pd.period_range("2021-01-01", "2021-01-20", freq="D")
+        fwd = pd.Series(20.0 + 3.0 * np.sin(np.arange(len(idx))), index=idx)
+        vol = pd.Series(0.5, index=idx)
+        common = dict(
+            factors=[(2.0, vol)], factor_corrs=None, num_sims=256,
+            discount_deltas=False, seed=5, return_sim_panels=False,
+        )
+        dsl = multi_factor_value(
+            storage, "2021-01-01", 50.0, fwd, None, None,
+            basis_funcs="1 + s + x0 + x0**2 + s*x0", **common,
+        )
+        composed = multi_factor_value(
+            storage, "2021-01-01", 50.0, fwd, None, None,
+            basis_funcs=ones() + S + X(0) + X(0) ** 2 + S * X(0), **common,
+        )
+        assert composed.npv == dsl.npv
+        pd.testing.assert_series_equal(composed.deltas, dsl.deltas)
+
+
+class TestProfileSink:
+    def test_profile_sink_receives_synced_phase_breakdown(self):
+        storage = CmdtyStorage(
+            "D", "2021-01-01", "2021-01-20",
+            injection_cost=0.1, withdrawal_cost=0.1,
+            min_inventory=0.0, max_inventory=200.0,
+            max_injection_rate=25.0, max_withdrawal_rate=25.0,
+        )
+        idx = pd.period_range("2021-01-01", "2021-01-20", freq="D")
+        fwd = pd.Series(20.0, index=idx)
+        vol = pd.Series(0.5, index=idx)
+        captured = []
+        multi_factor_value(
+            storage, "2021-01-01", 50.0, fwd, None, None,
+            factors=[(2.0, vol)], factor_corrs=None, num_sims=128,
+            basis_funcs="1 + s + x0", discount_deltas=False, seed=1,
+            return_sim_panels=False, profile_sink=captured.append,
+        )
+        (sw,) = captured
+        assert sw.sync is True
+        total = sw.elapsed("All")
+        assert total > 0
+        for phase in ("RegressionPriceSimulation", "ValuationPriceSimulation",
+                      "BackwardInduction", "ForwardSimulation"):
+            assert sw.elapsed(phase) > 0, phase
+        assert sum(sw.elapsed(p) for p in sw.PHASES) <= total
+
+
 class TestProgressAndCancellation:
     def _setup(self):
         storage = CmdtyStorage(

@@ -219,10 +219,16 @@ class TestTreeConsistency:
                 *args, fwd_contracts=contracts, dtype=jnp.float64,
                 delta_shift=1e-3,
             )
-        d32 = trinomial_deltas(*args, fwd_contracts=contracts)  # bump 0.01
+        d32 = trinomial_deltas(
+            *args, fwd_contracts=contracts, dtype=jnp.float32
+        )  # bump 0.01
+        # The DEFAULT call runs the f64/1e-5 path under a local enable_x64
+        # scope (no global x64 needed) and must match the explicit-f64 values.
+        d_default = trinomial_deltas(*args, fwd_contracts=contracts)
         # f64 deltas are bump-robust across two orders of magnitude...
         np.testing.assert_allclose(d64, d64_mid, atol=5e-3)
-        # ...and the f32 default recovers them to ~1e-3 of the max rate.
+        np.testing.assert_allclose(d_default, d64, atol=1e-9)
+        # ...and the explicit-f32 mode recovers them to ~1e-3 of the max rate.
         np.testing.assert_allclose(d32, d64, atol=0.05)
 
 
