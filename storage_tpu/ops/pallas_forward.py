@@ -95,7 +95,8 @@ def _forward_kernel(
     # the sublane axis.  The original [bS, G] orientation forced a
     # lane->sublane relayout per decision per step (plus an 11-column stack
     # relayout), which dominated the kernel at ~28 us/block-step.
-    gi = jax.lax.broadcasted_iota(jnp.int32, (num_grid, bS), 0)
+    # Mosaic's tpu.iota is integer-only; cast to f32 for the hat weights.
+    gi_f = jax.lax.broadcasted_iota(jnp.int32, (num_grid, bS), 0).astype(jnp.float32)
     # Padded-sim mask: sims are padded up to a lane-aligned block multiple;
     # padded lanes run through the DP harmlessly but must not contribute to
     # the reduced outputs.
@@ -122,17 +123,7 @@ def _forward_kernel(
         xn1_cols.append(jnp.ones_like(spot))
         xn1 = jnp.stack(xn1_cols, axis=0)  # [B+1, bS]
 
-        # Continuation surface for the block: one MXU matmul into VMEM,
-        # contracting the shared B+1 axis -> [G, bS].
-        # HIGHEST precision is load-bearing: default bf16 multiplies quantize
-        # ~1e5-magnitude continuation values by ~0.4%, visibly corrupting the
-        # exercise decisions (same trap as the XLA-level regression dots).
-        cont_block = jax.lax.dot_general(
-            tables_ref[k], xn1,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [G, bS]
+        tbl_k = tables_ref[k]  # [B+1, G]
 
         # Ratchet rates at per-sim inventory (pillars unrolled; P is small).
         pil_inv = [pillars_ref[k, p_idx, 0] for p_idx in range(num_pillars)]
@@ -182,15 +173,28 @@ def _forward_kernel(
         for d_idx, d in enumerate(decisions):
             q_after = inv + d - loss_amt
             t = jnp.where(inv_step > 0.0, (q_after - lo) / safe_step, 0.0)
-            j = jnp.clip(t.astype(jnp.int32), 0, num_grid - 2)
-            w = jnp.clip(t - j.astype(jnp.float32), 0.0, 1.0)
-            # j/w broadcast along the sublane (grid) axis as [1, bS] rows —
-            # they stay lane vectors, no layout conversion.
-            wmat = (
-                jnp.where(gi == j[None, :], (1.0 - w)[None, :], 0.0)
-                + jnp.where(gi == j[None, :] + 1, w[None, :], 0.0)
-            )
-            cont_d = jnp.sum(cont_block * wmat, axis=0)  # [bS]
+            # Linear interpolation of the fitted continuation at the per-sim
+            # query point t, MXU-formulated: the hat-function weight matrix
+            # W[g, s] = max(0, 1 - |g - clip(t_s)|) has the same two non-zero
+            # rows per sim as the classic (j, 1-w)/(j+1, w) pair, and
+            #   cont_d = xn1' (tables_k W)
+            # contracts the G axis on the MXU into a [B+1, bS] panel instead
+            # of evaluating the full [G, bS] continuation surface and
+            # masked-summing it on the VPU (which was the kernel's dominant
+            # serial cost: ~2 extra [G, bS] select ops plus a [G, bS]
+            # multiply + G-sublane reduction per decision per step).
+            # HIGHEST precision is load-bearing: default bf16 multiplies
+            # quantize ~1e5-magnitude table values by ~0.4%, visibly
+            # corrupting the exercise decisions.
+            th = jnp.clip(t, 0.0, num_grid - 1.0)
+            wmat = jnp.maximum(1.0 - jnp.abs(gi_f - th[None, :]), 0.0)
+            tblw = jax.lax.dot_general(
+                tbl_k, wmat,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [B+1, bS]
+            cont_d = jnp.sum(xn1 * tblw, axis=0)  # [bS]
             consumed = jnp.where(d > 0.0, sc[_SC_CI] * d, -sc[_SC_CW] * d)
             iw_cost = jnp.where(d > 0.0, sc[_SC_IC] * d, -sc[_SC_WC] * d)
             immediate = (
