@@ -74,7 +74,9 @@ def env_sub_tiles() -> int | None:
         return None
 
 
-def auto_sub_tiles(block_sims: int, num_grid_points: int) -> int:
+def auto_sub_tiles(
+    block_sims: int, num_grid_points: int, num_decisions: int = 3
+) -> int:
     """VMEM-bounded default for the backward kernel's dispatch amortisation.
 
     Sub-tiling widens the kernel's VMEM block to ``block_sims * sub_tiles``
@@ -82,13 +84,21 @@ def auto_sub_tiles(block_sims: int, num_grid_points: int) -> int:
     fixed overhead — DMA descriptors, semaphores, scalar prologue — is paid
     once per ``sub_tiles`` compute tiles.  Hardware ladder (Aug 18, 1M paths
     x 341 steps, G=100, fold-affine kernel): 1 tile 1.540 s, 2 tiles
-    1.482 s, 4 tiles 1.462 s; gains saturate there, and the Mosaic scoped
-    VMEM STACK (16 MB) overflows at span x G ~ 8192 x 100 ("Scoped
-    allocation with size 18.79M ... exceeded scoped vmem limit"), so the
-    span is capped at span x G <= 409,600 lane-gridpoints — the measured
-    4096 x 100 point with ~2.3x stack headroom — and at 4 tiles (the
-    saturation knee)."""
-    span_cap = max(block_sims, 409_600 // max(num_grid_points, 1))
+    1.482 s, 4 tiles 1.462 s; gains saturate there, so tiles cap at 4 (the
+    saturation knee).
+
+    The span cap models the Mosaic scoped-VMEM STACK (16 MB hard limit):
+    per-lane tile temporaries scale ~30 B x G per lane (the [D*G, bS]
+    fitted/actual products, the hi/lo rhs splits and the centred-surface
+    copies), plus a span-independent shared term for the decision-concat
+    bf16 actual matrices (~4 x D x G x (G+4) bytes for the hi/lo pair).
+    Calibrated against two measured points: G=100 span 8192 overflowed at
+    18.79M (pre-concat) and G=500 span 768 at 18.38M (in-kernel concat,
+    since moved to XLA — see prepare_decision_matrices); the 14 MB budget
+    keeps ~15% headroom under the 16 MB limit."""
+    G = max(num_grid_points, 1)
+    shared = 4 * max(num_decisions, 3) * G * (G + 4)
+    span_cap = max(block_sims, (14_000_000 - shared) // (30 * G))
     return max(1, min(4, span_cap // block_sims))
 
 
@@ -409,7 +419,9 @@ def backward_scan_pallas(
     re-reads the value surface from HBM.  Under ``mesh`` the kernel itself
     runs per path shard via ``shard_map`` (see :func:`pallas_backward_update`).
     """
-    from ..ops.pallas_backward import assemble_regression, pallas_backward_update
+    from ..ops.pallas_backward import (
+        assemble_regression, pallas_backward_update, prepare_decision_matrices,
+    )
 
     # Serial-path optimisation (VERDICT r4 item 2): ride the per-decision
     # affine economics through the existing bf16 actual-surface MXU passes,
@@ -487,7 +499,11 @@ def backward_scan_pallas(
             ],
             axis=0,
         )  # [D, G, G]
-        return wdt, econ.cost_npv.T, econ.price_coeff.T  # [D,G,G], [D,G], [D,G]
+        # Stored bf16: EXACT for 1/128-quantized weights, and the whole-span
+        # precompute is the largest per-period array ([n, D, G, G] — ~2 GB
+        # f32 at hourly horizons); the scan glue casts back to f32 (also
+        # exact) for the HIGHEST-precision cwa einsums.
+        return wdt.astype(jnp.bfloat16), econ.cost_npv.T, econ.price_coeff.T
 
     def kernel_step(k, coeffs, mu, sd, vbar_next, v_next_t, xs_k):
         """Dispatch the fused kernel for period k (regression already solved).
@@ -536,8 +552,15 @@ def backward_scan_pallas(
             jnp.asarray(a, jnp.float32)
             for a in (f, f_prev, wdt, cwa_t, vbar_in, musd, scal)
         )
+        # Decision-concatenated kernel operands, built once per SCAN STEP on
+        # XLA (the kernel runs 100s of sim blocks per step — prepping there
+        # would repeat this serial VPU work per block; see
+        # prepare_decision_matrices).
+        fit, act1, act2 = prepare_decision_matrices(
+            cwa_t, wdt, spec.num_basis, fold_affine
+        )
         return pallas_backward_update(
-            f, f_prev, v_next_t, cwa_t, vbar_in, musd, wdt, scal,
+            f, f_prev, v_next_t, fit, vbar_in, musd, act1, act2, scal,
             spec=spec, num_grid=G, block_sims=block_sims, true_sims=true_local,
             interpret=interpret, mesh=mesh, fold_affine=fold_affine,
             sub_tiles=sub_tiles,

@@ -67,10 +67,11 @@ def _backward_kernel(
     factors_ref,  # [F, bS] (sims on the LANE axis, like every other ref)
     fprev_ref,  # [F, bS] PREVIOUS period's factors (for the next regression)
     v_ref,  # [G, bS] next-period values (transposed surface)
-    cwa_ref,  # [D, G, B+2] augmented decision tables (see backward_scan_pallas)
+    fit_ref,  # [D*G, B+2] decision-concat fitted tables (f32)
     vbar_ref,  # [G, 1] sim-mean of the next-period surface
     musd_ref,  # [2, B] standardization mean / scale
-    wdt_ref,  # [D, G, G] per-decision interp matrices, M_d (query x next)
+    act1_ref,  # [D*G, G+4] bf16 actual-pass hi matrices (fold) | [D*G, G] m16
+    act2_ref,  # [D*G, G+4] bf16 actual-pass lo matrices (fold) | [D*G, 2] f32 affine cols
     scal_ref,  # [2, 1+F] drift, vol loadings for this and the previous period
     v_out_ref,  # out [G, bS] this-period values
     graw_ref,  # out [1, B+1, B+1] raw Gram partials of the PREVIOUS design
@@ -88,38 +89,23 @@ def _backward_kernel(
     if span % sub_tiles:
         raise ValueError("VMEM block width must divide into sub_tiles")
     bS = span // sub_tiles  # compute-tile lane width (every vector op's width)
-    B = spec.num_basis
 
-    # Per-decision matrix prep is TILE-INVARIANT (it touches only the [G, .]
-    # tables, never the lane axis), so it is built once per grid step — not
-    # re-traced inside the unrolled tile loop, which would multiply this
-    # serial VPU work by sub_tiles.  Production: the exact bf16 cast of the
-    # 1/128-quantized interp weights plus the two affine cwa columns.  Fold:
-    # the augmented (m_hi, m_lo) pair — colB (value-surface scale ~1e5) split
-    # 3-term via a doubled ones row for f32 fidelity, colB1 (price_coeff)
-    # split 2-term against the exact spot hi/lo rows (see the fold rationale
-    # in _backward_tile).
-    dec_fit = [cwa_ref[d] for d in range(num_decisions)]  # [G, B+2] each
-    dec_act = []
-    for d in range(num_decisions):
-        m16 = wdt_ref[d].astype(jnp.bfloat16)  # exact: weights are k/128
-        if fold_affine:
-            colB = cwa_ref[d, :, B][:, None]  # [G, 1] f32, exact source
-            colB1 = cwa_ref[d, :, B + 1][:, None]
-            cb_hi = colB.astype(jnp.bfloat16)
-            r1 = colB - cb_hi.astype(jnp.float32)
-            cb_md = r1.astype(jnp.bfloat16)
-            cb_lo = (r1 - cb_md.astype(jnp.float32)).astype(jnp.bfloat16)
-            c1_hi = colB1.astype(jnp.bfloat16)
-            c1_lo = (colB1 - c1_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            zero_c = jnp.zeros_like(cb_hi)
-            m_hi = jnp.concatenate([m16, cb_hi, cb_md, c1_hi, c1_hi], axis=1)
-            m_lo = jnp.concatenate([m16, cb_lo, zero_c, c1_lo, c1_lo], axis=1)
-            dec_act.append((m_hi, m_lo))
-        else:
-            dec_act.append(
-                (m16, cwa_ref[d, :, B][:, None], cwa_ref[d, :, B + 1][:, None])
-            )
+    # All per-decision matrices arrive CONCATENATED on the query-grid axis
+    # ([D*G, .]) and pre-cast/split by the XLA-side glue in
+    # ``backward_scan_pallas.kernel_step`` (once per SCAN STEP, not once per
+    # block — the kernel runs hundreds of blocks per step at 1M paths), so
+    # the tile pays ONE fitted product and ONE actual hi/lo pass pair per
+    # step instead of per decision: each output row still depends on exactly
+    # one decision's matrix rows, so results are element-identical while the
+    # per-pass MXU dispatch overhead is paid D times less often.  The bf16
+    # casts are EXACT (the interp weights are 1/128-quantized upstream; the
+    # affine columns ship as explicit hi/lo splits), and shipping bf16 also
+    # halves the per-block DMA of the largest [D*G, G] operand.
+    dec_fit = fit_ref[...]
+    if fold_affine:
+        dec_act = (act1_ref[...], act2_ref[...])
+    else:
+        dec_act = (act1_ref[...], act2_ref[:, 0:1], act2_ref[:, 1:2])
 
     # With sub_tiles > 1 the VMEM block spans several compute tiles and the
     # per-tile body below runs (unrolled) once per tile: every vector op stays
@@ -152,9 +138,12 @@ def _backward_tile(
 ):
     """One compute tile of the backward update (lane slice ``sl`` of the VMEM
     block); writes the tile's new values and returns its regression partials.
-    ``dec_fit``/``dec_act`` are the per-decision fitted tables and prepared
-    actual-pass matrices (tile-invariant, built once in the caller)."""
+    ``dec_fit``/``dec_act`` are the decision-CONCATENATED fitted tables and
+    prepared actual-pass matrices (tile-invariant, built once in the
+    caller); the per-decision results are static [G, bS] row slices of the
+    single wide products."""
     B = spec.num_basis
+    G = dec_fit.shape[0] // num_decisions
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, bS), 1)
     valid_f = ((lane + lane_offset) < true_sims).astype(jnp.float32)
 
@@ -212,24 +201,27 @@ def _backward_tile(
         rhs_hi = jnp.concatenate([v_hi, ones_b, ones_b, s_hi16, s_lo16], axis=0)
         rhs_lo = jnp.concatenate([v_lo, ones_b, ones_b, s_hi16, s_lo16], axis=0)
 
+    # Fitted totals straight off the MXU, ALL decisions in one wide product:
+    # columns 0..B-1 of cwa are M_d @ coeffs', column B (ones row) carries
+    # M_d@vbar - cost_npv and column B+1 (spot row) carries price_coeff, so
+    # row block d of this product IS immediate + fitted continuation for
+    # decision d.
+    total_all = _mm(dec_fit, xn1, jax.lax.Precision.HIGHEST)  # [D*G, bS]
+    # Realised values of the same decisions: centred actual continuation
+    # plus the same affine pieces — column B is (M_d@vbar - cost_npv),
+    # which is exactly the act-side offset too since q_d is centred.
+    if fold_affine:
+        m_hi, m_lo = dec_act
+        act_all = _mm(m_hi, rhs_hi) + _mm(m_lo, rhs_lo)  # [D*G, bS]
+    else:
+        m16, colB, colB1 = dec_act
+        act_all = _mm(m16, v_hi) + _mm(m16, v_lo) + colB + colB1 * spot
+
     best_fitted = None
     best_actual = None
     for d in range(num_decisions):
-        # Fitted total straight off the MXU: columns 0..B-1 of cwa are
-        # M_d @ coeffs', column B (ones row) carries M_d@vbar - cost_npv and
-        # column B+1 (spot row) carries price_coeff, so this product IS
-        # immediate + fitted continuation.
-        total = _mm(dec_fit[d], xn1, jax.lax.Precision.HIGHEST)
-        # Realised value of the same decision: centred actual continuation
-        # plus the same affine pieces — column B is (M_d@vbar - cost_npv),
-        # which is exactly the act-side offset too since q_d is centred.
-        if fold_affine:
-            m_hi, m_lo = dec_act[d]
-            actual = _mm(m_hi, rhs_hi) + _mm(m_lo, rhs_lo)
-        else:
-            m16, colB, colB1 = dec_act[d]
-            q_d = _mm(m16, v_hi) + _mm(m16, v_lo)
-            actual = q_d + colB + colB1 * spot
+        total = total_all[d * G : (d + 1) * G, :]
+        actual = act_all[d * G : (d + 1) * G, :]
         if best_fitted is None:  # decision 0 seeds unconditionally (NaN guard)
             best_fitted = total
             best_actual = actual
@@ -279,10 +271,11 @@ def _backward_update_local(
     factors_t,  # [F, S_local] (lane-padded)
     fprev_t,  # [F, S_local] previous period's factors
     v_next_t,  # [G, S_local] (lane-padded)
-    cwa_t,  # [D, G, B+2]
+    fit,  # [D*G, B+2] f32 decision-concat fitted tables
     vbar,  # [G, 1]
     musd,  # [2, B]
-    wdt,  # [D, G, G]
+    act1,  # [D*G, G+4] bf16 (fold) | [D*G, G] bf16 (broadcast)
+    act2,  # [D*G, G+4] bf16 (fold) | [D*G, 2] f32 (broadcast)
     scal,  # [2, 1+F]
     spec: BasisSpec,
     num_grid: int,
@@ -319,8 +312,10 @@ def _backward_update_local(
         v_next_t = jnp.pad(v_next_t, ((0, 0), (0, S_pad - S_in)))
     num_blocks = S_pad // span
     B = spec.num_basis
-    D = wdt.shape[0]
+    D = fit.shape[0] // num_grid
     num_factors = factors_t.shape[0]
+    a1_cols = act1.shape[-1]
+    a2_cols = act2.shape[-1]
 
     kernel = functools.partial(
         _backward_kernel,
@@ -342,11 +337,13 @@ def _backward_update_local(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((num_grid, span), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, num_grid, B + 2), lambda i: (0, 0, 0),
+            pl.BlockSpec((D * num_grid, B + 2), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((num_grid, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, num_grid, num_grid), lambda i: (0, 0, 0),
+            pl.BlockSpec((D * num_grid, a1_cols), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D * num_grid, a2_cols), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 1 + num_factors), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -370,7 +367,7 @@ def _backward_update_local(
         # XLA copies the 100s-of-MB carry once per scan step.
         input_output_aliases={2: 0},
         interpret=interpret,
-    )(factors_t, fprev_t, v_next_t, cwa_t, vbar, musd, wdt, scal)
+    )(factors_t, fprev_t, v_next_t, fit, vbar, musd, act1, act2, scal)
 
     if S_pad != S_in:
         v_this = v_this[:, :S_in]
@@ -392,10 +389,11 @@ def pallas_backward_update(
     factors_t,  # [F, S_pad] lane-padded
     fprev_t,  # [F, S_pad] previous period's factors
     v_next_t,  # [G, S_pad] lane-padded transposed surface
-    cwa_t,  # [D, G, B+2] augmented decision tables (M_d @ coeffs' | affine)
+    fit,  # [D*G, B+2] f32 decision-concat fitted tables (see prepare_decision_matrices)
     vbar,  # [G, 1]
     musd,  # [2, B]
-    wdt,  # [D, G, G]
+    act1,  # [D*G, G+4] bf16 (fold) | [D*G, G] bf16 (broadcast)
+    act2,  # [D*G, G+4] bf16 (fold) | [D*G, 2] f32 (broadcast)
     scal,  # [2, 1+F]
     spec: BasisSpec,
     num_grid: int,
@@ -428,7 +426,7 @@ def pallas_backward_update(
     )
     if mesh is None:
         v_this, graw, praw = local(
-            factors_t, fprev_t, v_next_t, cwa_t, vbar, musd, wdt, scal
+            factors_t, fprev_t, v_next_t, fit, vbar, musd, act1, act2, scal
         )
         # New sim-mean from praw's ones row (centred row sums): vbar + d.
         return v_this, vbar[:, 0] + praw[-1, :] / true_sims, graw, praw
@@ -438,8 +436,8 @@ def pallas_backward_update(
     axis_name = axis_name or mesh.axis_names[0]
     ndev = mesh.devices.size
 
-    def body(f, fp, v, cw, vb, ms, w, sc):
-        v_out, graw, praw = local(f, fp, v, cw, vb, ms, w, sc)
+    def body(f, fp, v, ft, vb, ms, a1, a2, sc):
+        v_out, graw, praw = local(f, fp, v, ft, vb, ms, a1, a2, sc)
         return (
             v_out,
             jax.lax.psum(graw, axis_name),
@@ -451,15 +449,69 @@ def pallas_backward_update(
         mesh=mesh,
         in_specs=(
             P(None, axis_name), P(None, axis_name), P(None, axis_name),
-            P(), P(), P(), P(), P(),
+            P(), P(), P(), P(), P(), P(),
         ),
         out_specs=(P(None, axis_name), P(), P()),
         check_vma=False,
     )
     v_this, graw, praw = sharded(
-        factors_t, fprev_t, v_next_t, cwa_t, vbar, musd, wdt, scal
+        factors_t, fprev_t, v_next_t, fit, vbar, musd, act1, act2, scal
     )
     return v_this, vbar[:, 0] + praw[-1, :] / (true_sims * ndev), graw, praw
+
+
+def prepare_decision_matrices(cwa_t, wdt, num_basis: int, fold_affine: bool):
+    """Build the kernel's decision-concatenated operands on the XLA side.
+
+    Runs ONCE per scan step (between kernel dispatches) instead of once per
+    simulation block inside the kernel — at 1M paths that is ~250x less
+    often — and ships the largest operand as bf16, halving its per-block DMA.
+    All casts are exact: the interp weights in ``wdt`` are 1/128-quantized
+    upstream, and the two affine cwa columns ship as explicit bf16 hi/lo
+    splits (colB — value-surface scale ~1e5 — 3-term via a doubled ones row;
+    colB1 — price_coeff — 2-term against the kernel's exact spot hi/lo rows).
+
+    Returns ``(fit [D*G, B+2] f32, act1, act2)`` where for ``fold_affine``
+    ``act1``/``act2`` are the [D*G, G+4] bf16 hi/lo actual-pass matrices and
+    otherwise ``act1`` is the [D*G, G] bf16 interp matrix and ``act2`` the
+    [D*G, 2] f32 (colB, colB1) affine columns.
+    """
+    B = num_basis
+    D, G = cwa_t.shape[0], cwa_t.shape[1]
+    fit = cwa_t.reshape(D * G, B + 2)
+    m16 = wdt.astype(jnp.bfloat16).reshape(D * G, G)
+    if not fold_affine:
+        cols = jnp.stack(
+            [cwa_t[:, :, B].reshape(D * G), cwa_t[:, :, B + 1].reshape(D * G)],
+            axis=1,
+        )
+        return fit, m16, cols
+    colB = cwa_t[:, :, B].reshape(D * G, 1)
+    colB1 = cwa_t[:, :, B + 1].reshape(D * G, 1)
+    # The hi/lo splits MUST round through bf16 in f32 arithmetic.  On the XLA
+    # side a plain ``x - f32(bf16(x))`` is NOT safe: TPU builds run with
+    # --xla_allow_excess_precision, which licenses XLA to elide the
+    # bf16->f32 rounding round-trip, collapsing the residual to zero and
+    # silently degrading the affine columns to ONE bf16 pass (~0.4% on the
+    # 1e5-magnitude colB — measured as a 22% NPV corruption on chip).
+    # ``lax.reduce_precision`` is the non-elidable rounding primitive; the
+    # final bf16 casts of already-rounded values are then exact.
+    def split3(x):
+        hi = jax.lax.reduce_precision(x, 8, 7)
+        r1 = x - hi
+        md = jax.lax.reduce_precision(r1, 8, 7)
+        lo = r1 - md
+        return (hi.astype(jnp.bfloat16), md.astype(jnp.bfloat16),
+                lo.astype(jnp.bfloat16))
+
+    cb_hi, cb_md, cb_lo = split3(colB)
+    c1_hi_f = jax.lax.reduce_precision(colB1, 8, 7)  # 2-term split suffices
+    c1_hi = c1_hi_f.astype(jnp.bfloat16)
+    c1_lo = (colB1 - c1_hi_f).astype(jnp.bfloat16)
+    act1 = jnp.concatenate([m16, cb_hi, cb_md, c1_hi, c1_hi], axis=1)
+    act2 = jnp.concatenate([m16, cb_lo, jnp.zeros_like(cb_lo), c1_lo, c1_lo],
+                           axis=1)
+    return fit, act1, act2
 
 
 def assemble_regression(graw, praw, musd_approx, delta, num_sims,

@@ -391,3 +391,82 @@ class TestAssembleRegression:
         np.testing.assert_allclose(
             np.asarray(coeffs), coeffs_ref, atol=2e-3 * scale, rtol=2e-3
         )
+
+
+class TestPrepareDecisionMatrices:
+    """XLA-side operand prep: the bf16 hi/lo splits must survive compilation.
+
+    TPU builds run with --xla_allow_excess_precision, which licenses XLA to
+    elide ``x - f32(bf16(x))`` rounding round-trips — collapsing the residual
+    passes to zero and silently quantizing the ~1e5-magnitude affine columns
+    to ONE bf16 pass (measured as a 22% NPV corruption on chip before the
+    ``lax.reduce_precision`` fix).  This pins the reconstruction fidelity
+    UNDER JIT, so any future elision regression fails here.
+    """
+
+    def test_affine_columns_reconstruct_under_jit(self):
+        import jax
+
+        from storage_tpu.ops.pallas_backward import prepare_decision_matrices
+
+        D, G, B = 3, 7, 4
+        rng = np.random.default_rng(0)
+        cwa = jnp.asarray(
+            rng.normal(scale=1e5, size=(D, G, B + 2)), jnp.float32
+        )
+        wdt = jnp.asarray(
+            np.round(rng.uniform(size=(D, G, G)) * 128) / 128, jnp.float32
+        )
+
+        fit, act1, act2 = jax.jit(
+            prepare_decision_matrices, static_argnums=(2, 3)
+        )(cwa, wdt, B, True)
+        np.testing.assert_array_equal(np.asarray(fit), np.asarray(cwa).reshape(D * G, B + 2))
+        # m16 block is the exact bf16 image of the quantized weights.
+        np.testing.assert_array_equal(
+            np.asarray(act1[:, :G], np.float32), np.asarray(wdt).reshape(D * G, G)
+        )
+        np.testing.assert_array_equal(np.asarray(act1[:, :G]), np.asarray(act2[:, :G]))
+        # colB: hi + md + lo three-term split reconstructs to ~f32 precision
+        # (the lo pass would be all-zero if XLA elided the rounding).
+        colB = np.asarray(cwa[:, :, B]).reshape(D * G)
+        rec = (
+            np.asarray(act1[:, G], np.float64)
+            + np.asarray(act1[:, G + 1], np.float64)
+            + np.asarray(act2[:, G], np.float64)
+        )
+        np.testing.assert_allclose(rec, colB, rtol=3e-7)
+        assert np.abs(np.asarray(act2[:, G], np.float64)).max() > 0.0
+        # colB1: two-term split to ~bf16^2 (~16-bit) relative fidelity.
+        colB1 = np.asarray(cwa[:, :, B + 1]).reshape(D * G)
+        rec1 = (
+            np.asarray(act1[:, G + 2], np.float64)
+            + np.asarray(act2[:, G + 2], np.float64)
+        )
+        np.testing.assert_allclose(rec1, colB1, rtol=5e-5)
+        # The doubled colB1 columns (paired against spot hi AND lo rows in
+        # the kernel RHS) are copies.
+        np.testing.assert_array_equal(np.asarray(act1[:, G + 2]), np.asarray(act1[:, G + 3]))
+        np.testing.assert_array_equal(np.asarray(act2[:, G + 2]), np.asarray(act2[:, G + 3]))
+
+    def test_broadcast_mode_cols(self):
+        import jax
+
+        from storage_tpu.ops.pallas_backward import prepare_decision_matrices
+
+        D, G, B = 3, 5, 2
+        rng = np.random.default_rng(1)
+        cwa = jnp.asarray(rng.normal(size=(D, G, B + 2)), jnp.float32)
+        wdt = jnp.asarray(
+            np.round(rng.uniform(size=(D, G, G)) * 128) / 128, jnp.float32
+        )
+        fit, m16, cols = jax.jit(
+            prepare_decision_matrices, static_argnums=(2, 3)
+        )(cwa, wdt, B, False)
+        assert cols.shape == (D * G, 2) and cols.dtype == jnp.float32
+        np.testing.assert_array_equal(
+            np.asarray(cols[:, 0]), np.asarray(cwa[:, :, B]).reshape(D * G)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(cols[:, 1]), np.asarray(cwa[:, :, B + 1]).reshape(D * G)
+        )
