@@ -97,11 +97,26 @@ def price_once(storage, fwd_curve, ir_curve, settlement_rule, num_sims, seed):
             "+ s * x_st"
         ),
         discount_deltas=True,
+        # A pricing service returns NPV + deltas + triggers; the per-sim
+        # panels are [n+1, 6, S] x 2 path sets (~4.4 GB at 250k paths) and
+        # fetching them device->host is a data-export concern, not serving
+        # latency.  bench.py excludes them for the same reason.  The first
+        # clean on-chip run WITH the default (2026-08-19) measured 577 s/call
+        # of pure panel fetch over the axon host link — all transfer, no
+        # compute — which is the artifact's cautionary tale: keep panels on
+        # device unless the caller actually wants them.
+        return_sim_panels=False,
     )
     return float(res.npv)
 
 
 def main() -> None:
+    import logging
+
+    # INFO so each call's Stopwatches phase report (storage_tpu.valuation)
+    # lands in the captured stderr — a slow "warm" call must be attributable.
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+
     num_sims = int(sys.argv[1]) if len(sys.argv) > 1 else 250_000
     cache_dir = os.environ.get("STORAGE_TPU_XLA_CACHE", DEFAULT_CACHE)
     os.makedirs(cache_dir, exist_ok=True)
