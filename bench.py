@@ -201,6 +201,23 @@ def _engine_fold_default() -> bool:
     return FOLD_AFFINE_DEFAULT
 
 
+def _engine_precision_gates() -> dict:
+    """The kernels' effective MXU-precision gates (single source of truth:
+    the same env parses the kernels read at trace time).  Recorded in the
+    headline JSON so an experimental-precision run can't masquerade as the
+    production configuration; split3 fit/fwd ARE the production defaults
+    (chip-measured Aug 19), reg split3 is opt-in (rejected as default —
+    see ops/pallas_backward.reg_split3)."""
+    from storage_tpu.ops.pallas_backward import fit_split3, reg_split3
+    from storage_tpu.ops.pallas_forward import fwd_split3
+
+    return {
+        "fit_split3": fit_split3(),
+        "fwd_split3": fwd_split3(),
+        "reg_split3": reg_split3(),
+    }
+
+
 def record_headline(payload: dict) -> None:
     """Append a successful hardware measurement to the durable ledger.
 

@@ -785,6 +785,7 @@ def _forward_step_core(
     num_grid_points: int,
     extra_decisions: int,
     collect_panels: bool = True,
+    quantize_queries: bool = False,
 ):
     """One forward-simulation period (reference :374-490)."""
     cont_at, cont_mean_fn = cont
@@ -795,6 +796,12 @@ def _forward_step_core(
         inv_cost_rate, df_settle, df_start, extra_decisions,
     )  # decision axis last: [S, D]
     j, w = fractional_index(econ.inventory_after, next_lo, next_hi, num_grid_points)
+    if quantize_queries:
+        # Mirror the Pallas forward kernel's 1/256 query quantization (see
+        # pallas_forward.fwd_split3) so kernel-vs-XLA parity tests compare
+        # like for like; the production XLA fallback stays reference-exact
+        # unless STORAGE_TPU_QUANTIZE_WEIGHTS forces the match.
+        w = jnp.round(w * 256.0) / 256.0
     cont_d = cont_at(j, w)  # [S, D]
     immediate = econ.immediate_npv(spot[:, None])  # [S, D]
     total = immediate + cont_d
@@ -834,6 +841,7 @@ def _forward_step_core(
     jax.jit,
     static_argnames=(
         "spec", "interp_kind", "num_grid_points", "extra_decisions", "collect_panels",
+        "quantize_queries",
     ),
 )
 def forward_scan(
@@ -863,6 +871,7 @@ def forward_scan(
     num_grid_points: int,
     extra_decisions: int,
     collect_panels: bool = True,
+    quantize_queries: bool = False,
 ):
     def step(carry, xs):
         (f, vols, drift, cf, mu, sd, vbar, lo, hi, pil, lr, ic, wc, ci, cw, icr, dfs, df0, fp, dd) = xs
@@ -876,6 +885,7 @@ def forward_scan(
             carry, spot, cont, lo, hi, pil, lr, ic, wc, ci, cw, icr, dfs, df0, fp, dd,
             interp_kind=interp_kind, num_grid_points=num_grid_points,
             extra_decisions=extra_decisions, collect_panels=collect_panels,
+            quantize_queries=quantize_queries,
         )
 
     xs = (
@@ -1267,6 +1277,7 @@ def _forward_program(
             dev.df_start[lo_k:hi_k],
             dev.fwd[lo_k:hi_k],
             dfd[lo_k:hi_k],
+            quantize_queries=_xla_quantize_weights(),
             **static,
         )
         out_parts.append(outputs)
@@ -1789,6 +1800,7 @@ def _run_lsmc_chunked(
             dev.fwd[lo_k:hi_k],
             dfd[lo_k:hi_k],
             collect_panels=collect_panels,
+            quantize_queries=_xla_quantize_weights(),
             **static,
         )
         out_parts.append(outputs)

@@ -56,6 +56,54 @@ from .pallas_forward import _design_row
 _DN = (((1,), (0,)), ((), ()))
 
 
+def fit_split3() -> bool:
+    """Whether the decision-concat fitted product runs as the K-concatenated
+    3-term bf16 split instead of a HIGHEST-precision f32 matmul.
+
+    Mosaic has no ``Precision.HIGH``, so the classic 3-pass bf16 scheme
+    (``F@X ~= F_hi@X_hi + F_lo@X_hi + F_hi@X_lo``, ~2^-16 relative) is built
+    by hand — and because the contraction is only ``B+2 ~= 12`` deep, all
+    three terms CONCATENATE along K into ONE ``[D*G, 3(B+2)] x [3(B+2), bS]``
+    DEFAULT-precision pass (K = 36 <= 128, so the MXU pads it to a single
+    tile either way): the arithmetic of three passes for the latency of one,
+    vs HIGHEST's six.  The fitted totals only pick the argmax decision
+    (realised values come from the actual-surface passes, so the estimator
+    stays a lower bound), which is why ~2^-16 there is safe.  Chip
+    measurement (Aug 19, 1M x 341, G=100): BackwardInduction 1.497 ->
+    0.820-0.827 s with NPV 78374.81 -> 78375.07 (+3.5e-6 relative — MC/f32
+    noise scale), so split3 is the PRODUCTION DEFAULT;
+    ``STORAGE_TPU_FIT_PRECISION=highest`` reverts to the f32 product."""
+    import os
+
+    return os.environ.get(
+        "STORAGE_TPU_FIT_PRECISION", "split3"
+    ).lower() in ("split3", "high")
+
+
+def reg_split3() -> bool:
+    """Whether the kernel's regression partials (graw/praw) run as manual
+    3-term bf16 splits (3 MXU passes each) instead of HIGHEST f32 (6).
+
+    These contract over the LANE axis (K = bS), so there is no free
+    K-concatenation like :func:`fit_split3` — it is 3 genuine passes vs 6.
+    Unlike the fitted/forward products this perturbs the REGRESSION
+    (~2^-16 relative on Gram/RHS sums of approx-standardized O(1) entries),
+    i.e. the continuation coefficients themselves — still policy-only for
+    the NPV (realised values ride the actual surface) but it also moves
+    trigger prices and deltas.  Chip measurement (Aug 19, 1M x 341): saves
+    only ~65 ms of BackwardInduction (0.82 -> 0.76 s) while the NPV DROPS
+    78375.1 -> 78316.3 (-7.5e-4 relative — a genuine policy degradation,
+    visible exactly because the estimator is a lower bound), two orders
+    noisier than the fit split's +3.5e-6.  REJECTED as a default; kept as
+    an opt-in knob (``STORAGE_TPU_REG_PRECISION=split3``) so the trade can
+    be re-measured on future hardware."""
+    import os
+
+    return os.environ.get(
+        "STORAGE_TPU_REG_PRECISION", "highest"
+    ).lower() in ("split3", "high")
+
+
 def _mm(a, b, precision=None):
     return jax.lax.dot_general(
         a, b, dimension_numbers=_DN, preferred_element_type=jnp.float32,
@@ -67,7 +115,7 @@ def _backward_kernel(
     factors_ref,  # [F, bS] (sims on the LANE axis, like every other ref)
     fprev_ref,  # [F, bS] PREVIOUS period's factors (for the next regression)
     v_ref,  # [G, bS] next-period values (transposed surface)
-    fit_ref,  # [D*G, B+2] decision-concat fitted tables (f32)
+    fit_ref,  # [D*G, B+2] f32 | [D*G, 3(B+2)] bf16 split fitted tables
     vbar_ref,  # [G, 1] sim-mean of the next-period surface
     musd_ref,  # [2, B] standardization mean / scale
     act1_ref,  # [D*G, G+4] bf16 actual-pass hi matrices (fold) | [D*G, G] m16
@@ -205,8 +253,18 @@ def _backward_tile(
     # columns 0..B-1 of cwa are M_d @ coeffs', column B (ones row) carries
     # M_d@vbar - cost_npv and column B+1 (spot row) carries price_coeff, so
     # row block d of this product IS immediate + fitted continuation for
-    # decision d.
-    total_all = _mm(dec_fit, xn1, jax.lax.Precision.HIGHEST)  # [D*G, bS]
+    # decision d.  When the caller shipped the K-concatenated bf16 split
+    # (``dec_fit`` width 3(B+2) — see fit_split3/prepare_decision_matrices),
+    # the matching RHS blocks [xn1_hi; xn1_hi; xn1_lo] make ONE
+    # DEFAULT-precision pass equal the 3-term bf16 product; otherwise the
+    # f32 operands run at HIGHEST.
+    if dec_fit.shape[1] == 3 * (B + 2):
+        xn1_hi = xn1.astype(jnp.bfloat16)
+        xn1_lo = (xn1 - xn1_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        xn1_cat = jnp.concatenate([xn1_hi, xn1_hi, xn1_lo], axis=0)
+        total_all = _mm(dec_fit, xn1_cat)  # [D*G, bS]
+    else:
+        total_all = _mm(dec_fit, xn1, jax.lax.Precision.HIGHEST)  # [D*G, bS]
     # Realised values of the same decisions: centred actual continuation
     # plus the same affine pieces — column B is (M_d@vbar - cost_npv),
     # which is exactly the act-side offset too since q_d is centred.
@@ -254,16 +312,31 @@ def _backward_tile(
     # the new sim-mean as vbar_next + praw[B] / S.
     v_out_c = best_actual - vbar_ref[...]
     lanes_dn = (((1,), (1,)), ((), ()))
-    graw = jax.lax.dot_general(
-        xr, xr, dimension_numbers=lanes_dn,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    praw = jax.lax.dot_general(
-        xr, v_out_c, dimension_numbers=lanes_dn,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    if reg_split3():
+        xr_hi = xr.astype(jnp.bfloat16)
+        xr_lo = (xr - xr_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        vo_hi = v_out_c.astype(jnp.bfloat16)
+        vo_lo = (v_out_c - vo_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def _lmm(a, b):
+            return jax.lax.dot_general(
+                a, b, dimension_numbers=lanes_dn,
+                preferred_element_type=jnp.float32,
+            )
+
+        graw = _lmm(xr_hi, xr_hi) + _lmm(xr_lo, xr_hi) + _lmm(xr_hi, xr_lo)
+        praw = _lmm(xr_hi, vo_hi) + _lmm(xr_lo, vo_hi) + _lmm(xr_hi, vo_lo)
+    else:
+        graw = jax.lax.dot_general(
+            xr, xr, dimension_numbers=lanes_dn,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        praw = jax.lax.dot_general(
+            xr, v_out_c, dimension_numbers=lanes_dn,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     return graw, praw
 
 
@@ -337,7 +410,7 @@ def _backward_update_local(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((num_grid, span), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((D * num_grid, B + 2), lambda i: (0, 0),
+            pl.BlockSpec((D * num_grid, fit.shape[-1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((num_grid, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -389,7 +462,7 @@ def pallas_backward_update(
     factors_t,  # [F, S_pad] lane-padded
     fprev_t,  # [F, S_pad] previous period's factors
     v_next_t,  # [G, S_pad] lane-padded transposed surface
-    fit,  # [D*G, B+2] f32 decision-concat fitted tables (see prepare_decision_matrices)
+    fit,  # [D*G, B+2] f32 | [D*G, 3(B+2)] bf16 fitted tables (prepare_decision_matrices)
     vbar,  # [G, 1]
     musd,  # [2, B]
     act1,  # [D*G, G+4] bf16 (fold) | [D*G, G] bf16 (broadcast)
@@ -479,6 +552,17 @@ def prepare_decision_matrices(cwa_t, wdt, num_basis: int, fold_affine: bool):
     B = num_basis
     D, G = cwa_t.shape[0], cwa_t.shape[1]
     fit = cwa_t.reshape(D * G, B + 2)
+    if fit_split3():
+        # K-concatenated 3-term bf16 split of the fitted tables (see
+        # fit_split3): blocks [F_hi | F_lo | F_hi] pair against the kernel's
+        # RHS blocks [X_hi; X_hi; X_lo].  The hi part MUST round via
+        # lax.reduce_precision — a plain cast round-trip is elidable under
+        # --xla_allow_excess_precision (the measured 22% NPV corruption
+        # mode, see the act-matrix splits below).
+        f_hi_f = jax.lax.reduce_precision(fit, 8, 7)
+        f_hi = f_hi_f.astype(jnp.bfloat16)
+        f_lo = (fit - f_hi_f).astype(jnp.bfloat16)
+        fit = jnp.concatenate([f_hi, f_lo, f_hi], axis=1)  # [D*G, 3(B+2)]
     m16 = wdt.astype(jnp.bfloat16).reshape(D * G, G)
     if not fold_affine:
         cols = jnp.stack(

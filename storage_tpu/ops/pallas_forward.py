@@ -35,6 +35,34 @@ from jax.experimental.pallas import tpu as pltpu
 from .decisions import clipped_decision_bounds
 from .regression import BasisSpec
 
+
+def fwd_split3() -> bool:
+    """Whether the per-decision continuation-interp matmul runs as the
+    K-concatenated 3-term bf16 split instead of a HIGHEST f32 contraction.
+
+    Mosaic has no ``Precision.HIGH``, so a 2-term bf16 scheme is built by
+    hand: the query point is quantized to 1/256 of a grid cell (the SAME
+    trick the backward kernel's 1/128 interp weights use — hat weights
+    become k/256 values that bf16 represents EXACTLY, so W carries no
+    rounding error at all; the query instead shifts by <=1/512 cell, a
+    policy-only discretisation-level perturbation) and the table splits hi/lo
+    (``T@W = T_hi@W + T_lo@W`` to ~2^-16 — the tables reach ~1e5 so a
+    single bf16 table pass is NOT safe, see the inline note), concatenated
+    along K into one [B+1, 2G] x [2G, bS] DEFAULT pass: ceil(2G/128) MXU
+    K-tiles vs HIGHEST's 6 x ceil(G/128).  ``cont_d`` only picks the
+    forward argmax decision (realised PV accumulates immediates), so the
+    perturbation is policy-only.
+    Chip measurement (Aug 19, 1M x 341): ForwardSimulation 0.472 -> 0.457 s
+    (the kernel is mostly VPU/serial-bound, and the W splits add VPU casts
+    that eat most of the MXU saving) with NO measurable NPV change on top of
+    the backward fit split, so it defaults on for the small positive gain;
+    ``STORAGE_TPU_FWD_PRECISION=highest`` reverts."""
+    import os
+
+    return os.environ.get(
+        "STORAGE_TPU_FWD_PRECISION", "split3"
+    ).lower() in ("split3", "high")
+
 # Packed per-step scalar layout (column indices into scalars[n, :]).
 _SC_LO = 0  # next-step inventory-space min
 _SC_HI = 1  # next-step inventory-space max
@@ -97,6 +125,7 @@ def _forward_kernel(
     # relayout), which dominated the kernel at ~28 us/block-step.
     # Mosaic's tpu.iota is integer-only; cast to f32 for the hat weights.
     gi_f = jax.lax.broadcasted_iota(jnp.int32, (num_grid, bS), 0).astype(jnp.float32)
+    use_split3 = fwd_split3()
     # Padded-sim mask: sims are padded up to a lane-aligned block multiple;
     # padded lanes run through the DP harmlessly but must not contribute to
     # the reduced outputs.
@@ -124,6 +153,16 @@ def _forward_kernel(
         xn1 = jnp.stack(xn1_cols, axis=0)  # [B+1, bS]
 
         tbl_k = tables_ref[k]  # [B+1, G]
+        if use_split3:
+            # Shared across the decision loop: the K-concatenated bf16 split
+            # of the continuation table (see fwd_split3) — blocks
+            # [T_hi | T_lo] pair against the per-decision doubled weight
+            # blocks [W; W] (W is exactly bf16 after the 1/256 query
+            # quantization below).  In-kernel (Mosaic) cast round-trips are
+            # honest rounding, unlike XLA under --xla_allow_excess_precision.
+            t_hi = tbl_k.astype(jnp.bfloat16)
+            t_lo = (tbl_k - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            tbl_cat = jnp.concatenate([t_hi, t_lo], axis=1)  # [B+1, 2G]
 
         # Ratchet rates at per-sim inventory (pillars unrolled; P is small).
         pil_inv = [pillars_ref[k, p_idx, 0] for p_idx in range(num_pillars)]
@@ -187,13 +226,31 @@ def _forward_kernel(
             # quantize ~1e5-magnitude table values by ~0.4%, visibly
             # corrupting the exercise decisions.
             th = jnp.clip(t, 0.0, num_grid - 1.0)
-            wmat = jnp.maximum(1.0 - jnp.abs(gi_f - th[None, :]), 0.0)
-            tblw = jax.lax.dot_general(
-                tbl_k, wmat,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [B+1, bS]
+            if use_split3:
+                # 1/256-quantized query ([bS]-cheap): every hat weight is a
+                # k/256 value — 8 significant bits, EXACTLY bf16-representable
+                # (bf16 carries 1+7 mantissa bits), and the pair still sums
+                # to exactly 1.  Finer than the backward kernel's 1/128 table
+                # quantization because the query here is per-sim (policy
+                # noise, not a stored table): measured -1.15e-4 NPV at 1/128,
+                # halved at 1/256.
+                th_q = jnp.round(th * 256.0) * jnp.float32(1.0 / 256.0)
+                wmat = jnp.maximum(1.0 - jnp.abs(gi_f - th_q[None, :]), 0.0)
+                w16 = wmat.astype(jnp.bfloat16)
+                w_cat = jnp.concatenate([w16, w16], axis=0)  # [2G, bS]
+                tblw = jax.lax.dot_general(
+                    tbl_cat, w_cat,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [B+1, bS]
+            else:
+                wmat = jnp.maximum(1.0 - jnp.abs(gi_f - th[None, :]), 0.0)
+                tblw = jax.lax.dot_general(
+                    tbl_k, wmat,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # [B+1, bS]
             cont_d = jnp.sum(xn1 * tblw, axis=0)  # [bS]
             consumed = jnp.where(d > 0.0, sc[_SC_CI] * d, -sc[_SC_CW] * d)
             iw_cost = jnp.where(d > 0.0, sc[_SC_IC] * d, -sc[_SC_WC] * d)

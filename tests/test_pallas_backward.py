@@ -404,10 +404,13 @@ class TestPrepareDecisionMatrices:
     UNDER JIT, so any future elision regression fails here.
     """
 
-    def test_affine_columns_reconstruct_under_jit(self):
+    def test_affine_columns_reconstruct_under_jit(self, monkeypatch):
         import jax
 
         from storage_tpu.ops.pallas_backward import prepare_decision_matrices
+
+        # Pin the non-split fit layout regardless of ambient experiment knobs.
+        monkeypatch.setenv("STORAGE_TPU_FIT_PRECISION", "highest")
 
         D, G, B = 3, 7, 4
         rng = np.random.default_rng(0)
@@ -448,6 +451,44 @@ class TestPrepareDecisionMatrices:
         # the kernel RHS) are copies.
         np.testing.assert_array_equal(np.asarray(act1[:, G + 2]), np.asarray(act1[:, G + 3]))
         np.testing.assert_array_equal(np.asarray(act2[:, G + 2]), np.asarray(act2[:, G + 3]))
+
+    def test_split3_fit_reconstructs_under_jit(self, monkeypatch):
+        """The K-concatenated bf16 fit split (STORAGE_TPU_FIT_PRECISION=
+        split3) must reconstruct the f32 tables to ~2^-16 relative UNDER JIT
+        — the hi block rounds via lax.reduce_precision, so an
+        excess-precision elision regression would zero the lo block and fail
+        the fidelity assertion here."""
+        import jax
+
+        from storage_tpu.ops.pallas_backward import prepare_decision_matrices
+
+        monkeypatch.setenv("STORAGE_TPU_FIT_PRECISION", "split3")
+
+        # Distinct shapes from the layout test above: the env knob is read at
+        # TRACE time and jax.jit's cache is keyed on shapes, not the env.
+        D, G, B = 3, 8, 4
+        rng = np.random.default_rng(2)
+        cwa = jnp.asarray(
+            rng.normal(scale=1e5, size=(D, G, B + 2)), jnp.float32
+        )
+        wdt = jnp.asarray(
+            np.round(rng.uniform(size=(D, G, G)) * 128) / 128, jnp.float32
+        )
+        fit, _, _ = jax.jit(
+            prepare_decision_matrices, static_argnums=(2, 3)
+        )(cwa, wdt, B, True)
+        K = B + 2
+        assert fit.shape == (D * G, 3 * K) and fit.dtype == jnp.bfloat16
+        f_hi = np.asarray(fit[:, :K], np.float64)
+        f_lo = np.asarray(fit[:, K : 2 * K], np.float64)
+        # Third block pairs the hi part against the kernel's X_lo rows.
+        np.testing.assert_array_equal(
+            np.asarray(fit[:, 2 * K :]), np.asarray(fit[:, :K])
+        )
+        ref = np.asarray(cwa, np.float64).reshape(D * G, K)
+        np.testing.assert_allclose(f_hi + f_lo, ref, rtol=2e-5)
+        # The lo block must carry real residual (elision would zero it).
+        assert np.abs(f_lo).max() > 0.0
 
     def test_broadcast_mode_cols(self):
         import jax

@@ -74,6 +74,9 @@ def run_xla_forward(scenario):
         dev.df_settle, dev.df_start, dev.fwd[:n], dfd[:n],
         spec=spec, interp_kind=ctx.interp_kind, num_grid_points=ctx.num_grid_points,
         extra_decisions=0, collect_panels=False,
+        # Mirror the kernel's 1/256 query quantization (fwd_split3 default)
+        # so the comparison is like for like.
+        quantize_queries=True,
     )
     means, deltas, _rows, *_triggers = outputs
     return np.asarray(means), np.asarray(deltas), np.asarray(carry[0]), np.asarray(carry[1])
