@@ -531,6 +531,7 @@ def main() -> None:
         # claim a non-default kernel for e.g. a typo'd value.
         "fold_affine": _engine_fold_affine(),
         "bwd_sub_tiles": _engine_sub_tiles(),
+        "precision_gates": _engine_precision_gates(),
         # Per-phase wall-clock of the timed run (VERDICT r4 item 1): the
         # stopwatches are device-synchronised at phase boundaries inside the
         # valuation, so backward/forward/simulation attribution is genuine.
@@ -544,7 +545,12 @@ def main() -> None:
     # kernel IS the production default since Aug 18 (see lsmc.py).
     if (out["backend"] != "cpu"
             and line["fold_affine"] == _engine_fold_default()
-            and line["bwd_sub_tiles"] == "auto"):
+            and line["bwd_sub_tiles"] == "auto"
+            # Production precision gates: split3 fit/fwd on, reg off (the
+            # chip-measured defaults — see _engine_precision_gates).
+            and line["precision_gates"] == {"fit_split3": True,
+                                            "fwd_split3": True,
+                                            "reg_split3": False}):
         record_headline({**line, "npv": out["npv"], "num_sims": num_sims,
                          "num_chips": num_chips})
     print(json.dumps(line))
