@@ -46,14 +46,19 @@ def main():
         except Exception as exc:  # noqa: BLE001 - impl not available
             print(f"{impl}: unavailable ({exc})")
             continue
-        # Warm (compile), then 3 timed runs.
-        f = simulate_factor_paths(coeffs, num_sims, None, key=key)
-        f.block_until_ready()
+        # Warm (compile), then 3 timed runs.  Sync via a one-element host
+        # readback: on the tunnel backend block_until_ready returns before
+        # the work is done (the engine's stopwatches learned the same).
+        def run():
+            f = simulate_factor_paths(coeffs, num_sims, None, key=key)
+            np.asarray(jnp.ravel(f[-1])[:1])
+            return f
+
+        f = run()
         walls = []
         for _ in range(3):
             t0 = time.perf_counter()
-            f = simulate_factor_paths(coeffs, num_sims, None, key=key)
-            f.block_until_ready()
+            f = run()
             walls.append(time.perf_counter() - t0)
         del f
         print(f"{impl}: best {min(walls)*1e3:.1f} ms  runs "
